@@ -1,0 +1,102 @@
+"""Command-line interface (reference: src/main.cpp TCLAP args + batch mode).
+
+Subcommands:
+  render     — offline render to PNG/HDR (reference: batch mode, -s/-b flags)
+  benchmark  — timed renders emitting the reference's CSV schema (§6)
+  optimize   — inverse rendering driver (new capability, BASELINE config 5)
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_parser():
+    p = argparse.ArgumentParser(prog="fluctus-tpu")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def common(sp):
+        sp.add_argument("scene", help="scene file (.obj/.ply)")
+        sp.add_argument("-x", "--width", type=int, default=1024)
+        sp.add_argument("-y", "--height", type=int, default=1024)
+        sp.add_argument("--env-map", default=None)
+        sp.add_argument("--max-bounces", type=int, default=4)
+        sp.add_argument("--no-env-light", action="store_true")
+        sp.add_argument("--area-light", action="store_true")
+        sp.add_argument("--no-sbvh", action="store_true")
+        sp.add_argument("--cache-dir", default="data/hierarchies")
+
+    r = sub.add_parser("render")
+    common(r)
+    r.add_argument("-s", "--spp", type=int, default=16)
+    r.add_argument("-o", "--output", default="output.png")
+    r.add_argument("--hdr", action="store_true",
+                   help="write linear .hdr instead of tonemapped png")
+
+    b = sub.add_parser("benchmark")
+    common(b)
+    b.add_argument("--duration", type=float, default=30.0,
+                   help="seconds per scene (reference: 30 s)")
+    b.add_argument("--csv", default=None, help="CSV output path")
+
+    o = sub.add_parser("optimize")
+    common(o)
+    o.add_argument("--target", required=True, help="target image (.hdr)")
+    o.add_argument("--steps", type=int, default=100)
+    o.add_argument("--lr", type=float, default=1e-2)
+    o.add_argument("--spp", type=int, default=4)
+    o.add_argument("--out-dir", default="out/optimize")
+    return p
+
+
+def make_session(args):
+    from fluctus_tpu.core.types import RenderConfig
+    from fluctus_tpu.render import driver
+
+    cfg = RenderConfig(
+        width=args.width, height=args.height, max_bounces=args.max_bounces,
+        use_env_map=not args.no_env_light and args.env_map is not None,
+        use_area_light=args.area_light)
+    return driver.create_session(
+        args.scene, env_map=args.env_map, cfg=cfg,
+        use_sbvh=not args.no_sbvh, cache_dir=args.cache_dir)
+
+
+def cmd_render(args):
+    from fluctus_tpu.io.image import save_image
+    from fluctus_tpu.render import driver
+
+    sess = make_session(args)
+    if args.hdr:
+        img = driver.render(sess, args.spp)
+    else:
+        img = driver.render_ldr(sess, args.spp)
+    save_image(args.output, img)
+    print(f"wrote {args.output}")
+
+
+def cmd_benchmark(args):
+    from fluctus_tpu.render.benchmark import run_benchmark
+
+    result = run_benchmark(make_session(args), duration_s=args.duration,
+                           scene_name=args.scene, csv_path=args.csv)
+    print(json.dumps(result))
+
+
+def cmd_optimize(args):
+    from fluctus_tpu.render.optimize import run_optimization
+
+    run_optimization(make_session(args), target_path=args.target,
+                     steps=args.steps, lr=args.lr, spp=args.spp,
+                     out_dir=args.out_dir)
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    {"render": cmd_render, "benchmark": cmd_benchmark,
+     "optimize": cmd_optimize}[args.command](args)
+
+
+if __name__ == "__main__":
+    main()

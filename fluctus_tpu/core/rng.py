@@ -33,6 +33,8 @@ class Streams:
     BSDF_V = 8
     BSDF_LOBE = 9      # Fresnel lobe / layer choice
     ROULETTE = 10
+    LIGHT_AREA_U = 11  # area-light draw when both lights sampled (MK mode)
+    LIGHT_AREA_V = 12
     NUM = 16           # stride between bounces
 
 

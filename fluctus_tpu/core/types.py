@@ -169,6 +169,16 @@ class RenderConfig(struct.PyTreeNode):
     use_roulette: bool = struct.field(pytree_node=False, default=False)
     tonemap_op: int = struct.field(pytree_node=False, default=2)  # 0=lin,1=reinhard,2=uc2
     backend: str = struct.field(pytree_node=False, default="auto")  # traversal impl: auto|jnp|pallas
+    # Bitmask of BSDF types present in the scene; prunes dispatch codegen
+    # like the reference's per-scene BXDF_USE_* defines
+    # (src/kernel_impl.hpp:261-266). 0xFE = all types.
+    bsdf_types_mask: int = struct.field(pytree_node=False, default=0xFE)
+    # Rays per traversal tile; pixels are processed in tiles of this size to
+    # bound the traversal stack footprint ((tile, 64) i32 in HBM).
+    tile_size: int = struct.field(pytree_node=False, default=1 << 16)
+    # Wavefront path-pool size (paths in flight; reference wfBufferSize
+    # default 2^20, src/settings.cpp:20).
+    pool_size: int = struct.field(pytree_node=False, default=1 << 20)
 
 
 @struct.dataclass

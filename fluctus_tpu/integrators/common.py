@@ -1,0 +1,184 @@
+"""Shared path-tracing stages used by both integrators.
+
+The reference spreads these across wf_logic.cl / mk_next_vertex.cl /
+mk_sample_bsdf.cl; here each stage is a pure batched function over SoA
+arrays. All stochastic decisions consume counter-based RNG draws keyed by
+(pixel, sample, bounce, stream) so forward and path-replay backward passes
+are bit-identical.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from fluctus_tpu.core import rng, samplers, vecmath as vm
+from fluctus_tpu.core.types import (
+    DeviceScene, Hit, RenderConfig, RenderParams)
+from fluctus_tpu.ops import bsdf as bsdf_mod
+from fluctus_tpu.ops import envmap as env_ops
+from fluctus_tpu.ops import texture as tex_ops
+from fluctus_tpu.ops import traverse
+from fluctus_tpu.ops.intersect import ray_area_light
+
+T_MAX = jnp.float32(3.4e38)
+OFFSET_SHADOW = 1e-3   # reference: wf_logic.cl:184 (orig = P - 1e-3*dir)
+OFFSET_CONT = 1e-4     # reference: wf_mat_diffuse.cl:54 (P + 1e-4*newDir)
+
+
+def trace_scene(scene: DeviceScene, params: RenderParams, cfg: RenderConfig,
+                orig: jnp.ndarray, dir: jnp.ndarray) -> Hit:
+    """Closest-hit + optional area-light quad + attribute interpolation
+    (reference: src/mk_next_vertex.cl:38-43, src/wf_extrays.cl:27-35)."""
+    g = scene.geom
+    tr = traverse.traverse_closest(scene.bvh, g.v0, g.v1, g.v2, orig, dir,
+                                   T_MAX)
+    prim = tr.prim
+    hit_tri = prim >= 0
+    p_safe = jnp.maximum(prim, 0)
+    u = tr.u[:, None]
+    v = tr.v[:, None]
+    w = 1.0 - u - v
+    n = vm.normalize(w * g.n0[p_safe] + u * g.n1[p_safe] + v * g.n2[p_safe])
+    uv = w * g.uv0[p_safe] + u * g.uv1[p_safe] + v * g.uv2[p_safe]
+    p = orig + tr.t[:, None] * dir
+    mat_id = jnp.where(hit_tri, g.mat_id[p_safe], 0)
+
+    hit = Hit(t=tr.t, prim=prim, p=p, n=n, uv=uv, mat_id=mat_id,
+              area_light=jnp.zeros(prim.shape, bool))
+
+    if cfg.use_area_light and cfg.sample_impl:
+        al = params.area_light
+        al_hit, al_t = ray_area_light(orig, dir, al.pos, al.right, al.up,
+                                      al.normal, al.size, hit.t)
+        hit = hit.replace(
+            t=jnp.where(al_hit, al_t, hit.t),
+            prim=jnp.where(al_hit, 0, hit.prim),
+            p=vm.where3(al_hit, orig + al_t[:, None] * dir, hit.p),
+            n=vm.where3(al_hit, jnp.broadcast_to(al.normal, hit.n.shape),
+                        hit.n),
+            mat_id=jnp.where(al_hit, 0, hit.mat_id),
+            area_light=al_hit,
+        )
+    return hit
+
+
+def make_shading_ctx(scene: DeviceScene, hit: Hit,
+                     dir: jnp.ndarray) -> bsdf_mod.ShadingCtx:
+    """Resolve material + textures + normal map + backface flip
+    (reference: wf_logic.cl:180-184, mk_sample_bsdf.cl:47-54)."""
+    m = scene.materials
+    mid = hit.mat_id
+    map_n = m.map_n[mid]
+    n = tex_ops.tangent_space_normal(scene.geom, scene.atlas, hit.prim,
+                                     hit.uv, hit.n, map_n)
+    backface = vm.dot(n, dir) > 0.0
+    n = vm.where3(backface, -n, n)
+    kd = tex_ops.mat_albedo(scene.atlas, m.kd[mid], m.map_kd[mid], hit.uv)
+    ks = tex_ops.mat_float3(scene.atlas, m.ks[mid], m.map_ks[mid], hit.uv)
+    return bsdf_mod.ShadingCtx(
+        n=n, backface=backface, kd=kd, ks=ks,
+        ns=m.ns[mid], ni=m.ni[mid], bsdf_id=m.bsdf_id[mid])
+
+
+class NeeResult(NamedTuple):
+    contrib: jnp.ndarray  # (B, 3) radiance to add (already MIS weighted)
+
+
+def _shadow_blocked(scene, params, cfg, orig, ldir, lens, check_area_quad):
+    """Occlusion test incl. the (virtual) area-light quad blocking env rays
+    (reference: mk_sample_bsdf.cl:88-93)."""
+    g = scene.geom
+    blocked = traverse.traverse_any(scene.bvh, g.v0, g.v1, g.v2, orig, ldir,
+                                    lens)
+    if check_area_quad and cfg.use_area_light:
+        al = params.area_light
+        q_hit, _ = ray_area_light(orig, ldir, al.pos, al.right, al.up,
+                                  al.normal, al.size, lens)
+        blocked = blocked | q_hit
+    return blocked
+
+
+def nee_env(scene, params, cfg, ctx, sh_orig, wi, types_mask, pix, samp,
+            bounce, light_pick_prob):
+    """Next-event estimation against the env map via alias sampling
+    (reference: mk_sample_bsdf.cl:71-117)."""
+    u = rng.uniform(pix, samp, bounce, rng.Streams.LIGHT_U)
+    L, direct_pdf_w = env_ops.sample_alias(scene.envmap, u)
+    L = vm.normalize(L)
+    len_l = 2.0 * params.world_radius * jnp.ones(wi.shape[0], jnp.float32)
+
+    blocked = _shadow_blocked(scene, params, cfg, sh_orig, L, len_l,
+                              check_area_quad=True)
+    f = bsdf_mod.bsdf_eval(ctx, wi, L, types_mask)
+    cos_th = jnp.maximum(0.0, vm.dot(L, ctx.n))
+    bsdf_pdf_w = jnp.maximum(0.0, bsdf_mod.bsdf_pdf(ctx, wi, L, types_mask))
+    weight = jnp.float32(1.0)
+    if cfg.sample_impl:
+        weight = (direct_pdf_w * light_pick_prob) / jnp.maximum(
+            direct_pdf_w * light_pick_prob + bsdf_pdf_w, 1e-20)
+    li = env_ops.eval_dir(scene.envmap, L) * params.env_strength
+    denom = jnp.maximum(light_pick_prob * direct_pdf_w, 1e-20)
+    contrib = f * li * (weight * cos_th / denom)[..., None]
+    ok = (~blocked) & (direct_pdf_w != 0.0)
+    return vm.where3(ok, contrib, jnp.zeros_like(contrib))
+
+
+def nee_area(scene, params, cfg, ctx, sh_orig, wi, types_mask, pix, samp,
+             bounce, light_pick_prob, shorten=1.0):
+    """Next-event estimation against the rectangular area light
+    (reference: mk_sample_bsdf.cl:120-155; WF shortens the ray by 0.995,
+    wf_logic.cl:272)."""
+    al = params.area_light
+    u1 = rng.uniform(pix, samp, bounce, rng.Streams.LIGHT_AREA_U)
+    u2 = rng.uniform(pix, samp, bounce, rng.Streams.LIGHT_AREA_V)
+    pos_l, pdf_a = samplers.sample_area_light(al.pos, al.right, al.up,
+                                              al.size, u1, u2)
+    delta = pos_l - sh_orig
+    dist = vm.length(delta)
+    L = vm.normalize(delta)
+    len_l = dist * shorten
+
+    cos_light = jnp.maximum(vm.dot(al.normal, -L), 0.0)
+    blocked = _shadow_blocked(scene, params, cfg, sh_orig, L, len_l,
+                              check_area_quad=False)
+    f = bsdf_mod.bsdf_eval(ctx, wi, L, types_mask)
+    cos_th = jnp.maximum(0.0, vm.dot(L, ctx.n))
+    direct_pdf_w = samplers.pdf_area_to_solid_angle(pdf_a, len_l, cos_light)
+    bsdf_pdf_w = jnp.maximum(0.0, bsdf_mod.bsdf_pdf(ctx, wi, L, types_mask))
+    weight = jnp.float32(1.0)
+    if cfg.sample_impl:
+        weight = (direct_pdf_w * light_pick_prob) / jnp.maximum(
+            direct_pdf_w * light_pick_prob + bsdf_pdf_w, 1e-20)
+    denom = jnp.maximum(light_pick_prob * direct_pdf_w, 1e-20)
+    contrib = al.emission * (f * (weight * cos_th / denom)[..., None])
+    ok = (~blocked) & (cos_light > 0.0)
+    return vm.where3(ok, contrib, jnp.zeros_like(contrib))
+
+
+def implicit_env_weight(scene, params, cfg, dir, last_pdf_w, last_specular,
+                        path_len, light_pick_prob):
+    """MIS weight for an implicit env-map hit
+    (reference: wf_logic.cl:84-107, mk_next_vertex.cl:74-96)."""
+    if not (cfg.sample_impl and cfg.sample_expl and cfg.use_env_map):
+        return jnp.ones(dir.shape[0], jnp.float32)
+    direct_pdf_w = env_ops.pdf_dir(scene.envmap, dir)
+    actual = last_pdf_w * light_pick_prob
+    w = actual / jnp.maximum(actual + direct_pdf_w, 1e-20)
+    return jnp.where((path_len > 1) & ~last_specular, w, 1.0)
+
+
+def implicit_area_weight(params, cfg, hit: Hit, orig, dir, last_pdf_w,
+                         last_specular, path_len, light_pick_prob):
+    """MIS weight for an implicit area-light hit
+    (reference: wf_logic.cl:109-132, mk_next_vertex.cl:98-117)."""
+    if not cfg.sample_expl:
+        return jnp.ones(dir.shape[0], jnp.float32)
+    al = params.area_light
+    pdf_a = 1.0 / (4.0 * al.size[0] * al.size[1])
+    dist = vm.length(hit.p - orig)
+    cos_l = vm.dot(vm.normalize(-dir), hit.n)
+    direct_pdf_w = samplers.pdf_area_to_solid_angle(pdf_a, dist, cos_l)
+    w = last_pdf_w / jnp.maximum(
+        last_pdf_w + direct_pdf_w * light_pick_prob, 1e-20)
+    return jnp.where((path_len > 1) & ~last_specular, w, 1.0)

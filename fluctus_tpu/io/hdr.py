@@ -70,8 +70,9 @@ def rgbe_to_float(rgbe: np.ndarray) -> np.ndarray:
 def float_to_rgbe(img: np.ndarray) -> np.ndarray:
     """(..., 3) float32 -> (..., 4) uint8 RGBE."""
     maxc = img.max(axis=-1)
-    mant, expo = np.frexp(maxc)
-    scale = np.where(maxc >= 1e-32, np.ldexp(256.0, -expo) * mant / np.maximum(maxc, 1e-32), 0.0)
+    _, expo = np.frexp(maxc)
+    # decode uses 2^(E-136) = 2^(e-8); encode must scale by 256/2^e
+    scale = np.where(maxc >= 1e-32, np.ldexp(256.0, -expo), 0.0)
     rgbe = np.zeros(img.shape[:-1] + (4,), np.uint8)
     rgbe[..., :3] = np.clip(img * scale[..., None], 0, 255).astype(np.uint8)
     rgbe[..., 3] = np.where(maxc >= 1e-32, expo + 128, 0).astype(np.uint8)

@@ -1,0 +1,87 @@
+"""Benchmark harness reproducing the reference measurement protocol
+(reference: Tracer::runBenchmark, src/tracer.cpp:362-528): timed rendering
+with periodic stat rows, CSV schema `scene;time;primary;extension;shadow;
+total;samples`, and averaged summary. MRays/s accounting matches the
+reference's queue-length counting: primary = camera rays, extension = all
+bounce rays (incl. primary), shadow = NEE rays.
+"""
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fluctus_tpu.integrators import lockstep
+
+CSV_HEADER = "scene;time;primary;extension;shadow;total;samples"
+
+
+def ray_counts_per_sample(cfg, n_pix):
+    """Analytic per-sample ray counts for the lockstep integrator (every lane
+    runs every bounce; extension rays counted like reference queue sizes)."""
+    bounces = cfg.max_bounces + 1
+    primary = n_pix
+    extension = n_pix * bounces
+    n_lights = (1 if cfg.use_env_map else 0) + (1 if cfg.use_area_light else 0)
+    shadow = n_pix * bounces * (n_lights if cfg.sample_expl else 0)
+    return primary, extension, shadow
+
+
+def run_benchmark(session, duration_s: float = 30.0, scene_name: str = "",
+                  csv_path: str | None = None, spp_per_iter: int = 1):
+    """Render repeatedly for `duration_s`, report MRays/s. Returns a dict;
+    optionally writes the reference-schema CSV."""
+    cfg = session.cfg
+    scene, params = session.scene, session.params
+    n_pix = cfg.width * cfg.height
+    tile = min(cfg.tile_size, n_pix)
+    primary_c, ext_c, shadow_c = ray_counts_per_sample(cfg, tile)
+
+    # warm up / compile
+    idx0 = jnp.arange(tile, dtype=jnp.uint32)
+    lockstep._render_tile(scene, params, cfg, idx0, jnp.uint32(0)
+                          ).block_until_ready()
+
+    rows = []
+    samples_done = 0
+    t0 = time.perf_counter()
+    t_last = t0
+    s = 0
+    tiles = [(st, jnp.arange(st, min(st + tile, n_pix), dtype=jnp.uint32))
+             for st in range(0, n_pix, tile)]
+    while time.perf_counter() - t0 < duration_s:
+        for _, idx in tiles:
+            lockstep._render_tile(scene, params, cfg, idx,
+                                  jnp.uint32(s)).block_until_ready()
+            now = time.perf_counter()
+            dt = now - t_last
+            t_last = now
+            rows.append((scene_name, now - t0, primary_c / dt / 1e6,
+                         ext_c / dt / 1e6, shadow_c / dt / 1e6,
+                         (primary_c + ext_c + shadow_c) / dt / 1e6,
+                         idx.shape[0] / dt / 1e6))
+            samples_done += idx.shape[0]
+        s += 1
+
+    wall = time.perf_counter() - t0
+    per_pix_samples = samples_done / n_pix
+    primary, ext, shadow = ray_counts_per_sample(cfg, samples_done)
+    result = {
+        "scene": scene_name,
+        "wall_s": wall,
+        "samples_per_pixel": per_pix_samples,
+        "primary_mrays_s": primary / wall / 1e6,
+        "extension_mrays_s": ext / wall / 1e6,
+        "shadow_mrays_s": shadow / wall / 1e6,
+        "total_mrays_s": (primary + ext + shadow) / wall / 1e6,
+        "samples_mrays_s": samples_done / wall / 1e6,
+    }
+    if csv_path:
+        with open(csv_path, "w") as f:
+            f.write(CSV_HEADER + "\n")
+            for r in rows:
+                f.write(f"{r[0]};{r[1]:.2f};{r[2]:.2f};{r[3]:.2f};"
+                        f"{r[4]:.2f};{r[5]:.2f};{r[6]:.2f}\n")
+    return result

@@ -1,0 +1,114 @@
+"""Render driver — the L3 orchestration layer (reference: src/tracer.cpp):
+scene setup, camera framing, batch renders, postprocessed export.
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from fluctus_tpu.core.types import (
+    DeviceScene, RenderConfig, RenderParams, default_params)
+from fluctus_tpu.integrators import lockstep
+from fluctus_tpu.ops import tonemap as tm
+from fluctus_tpu.scene.scene import HostScene, load_scene
+
+
+@dataclass
+class RenderSession:
+    """A loaded scene + device data + parameters (reference analogue: the
+    Tracer's scene/params/clctx triple)."""
+    host_scene: HostScene
+    scene: DeviceScene
+    params: RenderParams
+    cfg: RenderConfig
+
+
+def auto_frame_camera(params: RenderParams, host: HostScene) -> RenderParams:
+    """Place the default camera to see the whole scene: at center +z offset
+    of 1.2 diagonals, looking -z. (The reference restores saved per-scene
+    camera state, src/tracer.cpp:634-687; headless default frames the
+    bounds instead.)"""
+    lo, hi = host.bounds()
+    center = (lo + hi) * 0.5
+    radius = float(np.linalg.norm(hi - lo) * 0.5)
+    pos = center + np.array([0.0, 0.0, 2.4 * radius], np.float32)
+    cam = params.camera.replace(
+        pos=jnp.asarray(pos, jnp.float32),
+        dir=jnp.array([0.0, 0.0, -1.0], jnp.float32),
+        up=jnp.array([0.0, 1.0, 0.0], jnp.float32),
+        right=jnp.array([1.0, 0.0, 0.0], jnp.float32),
+        focal_dist=jnp.float32(2.4 * radius),
+    )
+    return params.replace(camera=cam)
+
+
+def create_session(scene_path: str, env_map: str | None = None,
+                   cfg: RenderConfig | None = None,
+                   use_sbvh: bool = True,
+                   cache_dir: str | None = "data/hierarchies",
+                   auto_frame: bool = True) -> RenderSession:
+    """Load scene, build/cache hierarchy, upload, derive params
+    (reference: Tracer::init, src/tracer.cpp:55-80)."""
+    host = load_scene(scene_path, env_map=env_map)
+    host.build_bvh(cache_dir=cache_dir, use_sbvh=use_sbvh)
+    device = host.to_device()
+
+    if cfg is None:
+        cfg = RenderConfig()
+    cfg = cfg.replace(
+        bsdf_types_mask=host.material_types_mask,
+        use_env_map=cfg.use_env_map and host.envmap is not None,
+    )
+    params = default_params(world_radius=host.world_radius())
+    if auto_frame:
+        params = auto_frame_camera(params, host)
+    return RenderSession(host_scene=host, scene=device, params=params,
+                         cfg=cfg)
+
+
+def render(session: RenderSession, spp: int) -> np.ndarray:
+    """Linear-radiance render at exact spp (lockstep integrator,
+    reference: Tracer::renderSingle)."""
+    img = lockstep.render(session.scene, session.params, session.cfg, spp)
+    return np.asarray(img)
+
+
+def render_ldr(session: RenderSession, spp: int) -> np.ndarray:
+    """Render + postprocess to display-referred RGB."""
+    img = render(session, spp)
+    w = np.ones(img.shape[:2], np.float32)
+    out = tm.postprocess(jnp.asarray(img), jnp.asarray(w),
+                         session.params.exposure, session.cfg.tonemap_op)
+    return np.asarray(out)
+
+
+def mrays_benchmark(session: RenderSession, spp: int = 4):
+    """Measure wall-clock and derive MRays/s accounting primary + extension +
+    shadow rays like the reference's stats (src/clcontext.cpp:648-656).
+
+    Ray counting: each sample traces (max_bounces+1) extension rays and, when
+    NEE is on, one shadow ray per light per non-delta bounce — counted
+    analytically from the config (upper bound, matching reference WF
+    accounting by queue sizes)."""
+    cfg = session.cfg
+    n_pix = cfg.width * cfg.height
+    # warmup/compile
+    _ = render(session, 1)
+    t0 = time.perf_counter()
+    _ = render(session, spp)
+    dt = time.perf_counter() - t0
+    bounces = cfg.max_bounces + 1
+    n_lights = (1 if cfg.use_env_map else 0) + (1 if cfg.use_area_light else 0)
+    ext_rays = n_pix * spp * bounces
+    shadow_rays = n_pix * spp * bounces * (n_lights if cfg.sample_expl else 0)
+    total = ext_rays + shadow_rays
+    return {
+        "wall_s": dt,
+        "samples_per_s": n_pix * spp / dt,
+        "mrays_per_s": total / dt / 1e6,
+        "ext_mrays_per_s": ext_rays / dt / 1e6,
+        "shadow_mrays_per_s": shadow_rays / dt / 1e6,
+    }

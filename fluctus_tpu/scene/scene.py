@@ -1,0 +1,236 @@
+"""Host scene container: loaders -> flat arrays -> DeviceScene.
+
+This is the L2 layer (reference: src/scene.{hpp,cpp}): model loading with
+format dispatch by extension (src/scene.cpp:53-103), the default material
+convention (src/scene.cpp:13-26), the material-type bitmask used for BSDF
+code specialization (src/scene.cpp:299), texture import, environment map
+attachment, and BVH/SBVH construction with an on-disk cache keyed by the
+scene file hash (src/tracer.cpp:574-590, src/bvh.cpp:102-192 — npz instead
+of a custom binary format).
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+import xxhash
+
+from fluctus_tpu.accel import bvh as bvh_mod
+from fluctus_tpu.core.types import BXDF_DIFFUSE
+from fluctus_tpu.scene import envmap as envmap_mod
+from fluctus_tpu.scene.loaders.obj import MtlMaterial, load_obj
+from fluctus_tpu.scene.loaders.ply import load_ply
+from fluctus_tpu.scene.textures import TexturePool
+
+DEFAULT_CACHE_DIR = "data/hierarchies"
+
+
+def default_material() -> MtlMaterial:
+    """reference: src/scene.cpp:13-26 (Kd 0.64, Ni 1.8, Ns 700, diffuse)."""
+    return MtlMaterial(name="__default__", kd=(0.64, 0.64, 0.64),
+                       ks=(0.0, 0.0, 0.0), ke=(0.0, 0.0, 0.0),
+                       ns=700.0, ni=1.8, bsdf_type=BXDF_DIFFUSE)
+
+
+def file_hash(path: str) -> str:
+    """xxhash of file contents (reference: src/utils.cpp:63-91)."""
+    h = xxhash.xxh64()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+@dataclass
+class HostScene:
+    # triangle soup (SoA, NumPy)
+    v0: np.ndarray
+    v1: np.ndarray
+    v2: np.ndarray
+    n0: np.ndarray
+    n1: np.ndarray
+    n2: np.ndarray
+    uv0: np.ndarray
+    uv1: np.ndarray
+    uv2: np.ndarray
+    mat_id: np.ndarray
+    materials: list                       # list[MtlMaterial], [0] = default
+    textures: TexturePool = field(default_factory=TexturePool)
+    envmap: "envmap_mod.HostEnvMap | None" = None
+    bvh: "bvh_mod.BuiltBVH | None" = None
+    hash: str = ""
+    name: str = ""
+
+    # material descriptor indices resolved during texture import
+    map_kd: np.ndarray | None = None
+    map_ks: np.ndarray | None = None
+    map_n: np.ndarray | None = None
+
+    @property
+    def n_tris(self) -> int:
+        return len(self.v0)
+
+    @property
+    def material_types_mask(self) -> int:
+        """Bitmask of BSDF types present (reference: src/scene.cpp:299),
+        used for static kernel specialization."""
+        mask = 0
+        for m in self.materials:
+            mask |= m.bsdf_type
+        return mask
+
+    def bounds(self):
+        lo = np.minimum(np.minimum(self.v0.min(0), self.v1.min(0)),
+                        self.v2.min(0))
+        hi = np.maximum(np.maximum(self.v0.max(0), self.v1.max(0)),
+                        self.v2.max(0))
+        return lo, hi
+
+    def world_radius(self) -> float:
+        """½·scene diagonal (reference: src/tracer.cpp:66-67)."""
+        lo, hi = self.bounds()
+        return float(np.linalg.norm(hi - lo) * 0.5)
+
+    def load_env_map(self, path: str) -> None:
+        self.envmap = envmap_mod.load(path)
+
+    def build_bvh(self, cache_dir: str | None = DEFAULT_CACHE_DIR,
+                  use_sbvh: bool = True) -> None:
+        """Build or load cached hierarchy
+        (reference: src/tracer.cpp:574-590 initHierarchy)."""
+        cache_path = None
+        if cache_dir and self.hash:
+            kind = "sbvh" if use_sbvh else "bvh"
+            cache_path = os.path.join(cache_dir,
+                                      f"hierarchy_{kind}_{self.hash}.npz")
+            if os.path.exists(cache_path):
+                z = np.load(cache_path)
+                self.bvh = bvh_mod.BuiltBVH(
+                    node_lo=z["node_lo"], node_hi=z["node_hi"],
+                    node_right=z["node_right"], node_count=z["node_count"],
+                    node_parent=z["node_parent"], prim_idx=z["prim_idx"],
+                    depth=int(z["depth"]))
+                return
+        if use_sbvh:
+            from fluctus_tpu.accel.sbvh import build_sbvh
+            self.bvh = build_sbvh(self.v0, self.v1, self.v2)
+        else:
+            self.bvh = bvh_mod.build_bvh(self.v0, self.v1, self.v2)
+        if cache_path:
+            os.makedirs(cache_dir, exist_ok=True)
+            np.savez_compressed(
+                cache_path, node_lo=self.bvh.node_lo, node_hi=self.bvh.node_hi,
+                node_right=self.bvh.node_right, node_count=self.bvh.node_count,
+                node_parent=self.bvh.node_parent, prim_idx=self.bvh.prim_idx,
+                depth=self.bvh.depth)
+
+    def material_arrays(self):
+        """SoA material table with dense bsdf ids + texture slots."""
+        from fluctus_tpu.core.types import BSDF_ID
+        mats = self.materials
+        kd = np.asarray([m.kd for m in mats], np.float32)
+        ks = np.asarray([m.ks for m in mats], np.float32)
+        ke = np.asarray([m.ke for m in mats], np.float32)
+        ns = np.asarray([m.ns for m in mats], np.float32)
+        ni = np.asarray([m.ni for m in mats], np.float32)
+        bsdf_id = np.asarray([BSDF_ID[m.bsdf_type] for m in mats], np.int32)
+        n = len(mats)
+        map_kd = self.map_kd if self.map_kd is not None \
+            else np.full(n, -1, np.int32)
+        map_ks = self.map_ks if self.map_ks is not None \
+            else np.full(n, -1, np.int32)
+        map_n = self.map_n if self.map_n is not None \
+            else np.full(n, -1, np.int32)
+        return kd, ks, ke, ns, ni, map_kd, map_ks, map_n, bsdf_id
+
+    def to_device(self):
+        """Upload everything as a DeviceScene pytree (replicated per chip;
+        reference analogue: CLContext::uploadSceneData,
+        src/clcontext.cpp:522-611)."""
+        import jax.numpy as jnp
+
+        from fluctus_tpu.core.types import (
+            DeviceScene, EnvMap, FlatBVH, Geometry, Materials, TextureAtlas)
+
+        if self.bvh is None:
+            self.build_bvh(cache_dir=None, use_sbvh=False)
+
+        geom = Geometry(
+            v0=jnp.asarray(self.v0), v1=jnp.asarray(self.v1),
+            v2=jnp.asarray(self.v2), n0=jnp.asarray(self.n0),
+            n1=jnp.asarray(self.n1), n2=jnp.asarray(self.n2),
+            uv0=jnp.asarray(self.uv0), uv1=jnp.asarray(self.uv1),
+            uv2=jnp.asarray(self.uv2), mat_id=jnp.asarray(self.mat_id))
+        bvh = FlatBVH(
+            node_lo=jnp.asarray(self.bvh.node_lo),
+            node_hi=jnp.asarray(self.bvh.node_hi),
+            node_right=jnp.asarray(self.bvh.node_right),
+            node_count=jnp.asarray(self.bvh.node_count),
+            node_parent=jnp.asarray(self.bvh.node_parent),
+            prim_idx=jnp.asarray(self.bvh.prim_idx))
+        kd, ks, ke, ns, ni, map_kd, map_ks, map_n, bsdf_id = \
+            self.material_arrays()
+        mats = Materials(
+            kd=jnp.asarray(kd), ks=jnp.asarray(ks), ke=jnp.asarray(ke),
+            ns=jnp.asarray(ns), ni=jnp.asarray(ni),
+            map_kd=jnp.asarray(map_kd), map_ks=jnp.asarray(map_ks),
+            map_n=jnp.asarray(map_n), bsdf_id=jnp.asarray(bsdf_id))
+        data, offs, ws, hs = self.textures.pack()
+        atlas = TextureAtlas(
+            data=jnp.asarray(data), offset=jnp.asarray(offs),
+            width=jnp.asarray(ws), height=jnp.asarray(hs))
+        env = self.envmap if self.envmap is not None else envmap_mod.dummy()
+        envd = EnvMap(
+            image=jnp.asarray(env.image),
+            pdf_table=jnp.asarray(env.pdf_table),
+            prob_table=jnp.asarray(env.prob_table),
+            alias_table=jnp.asarray(env.alias_table))
+        return DeviceScene(geom=geom, bvh=bvh, materials=mats, atlas=atlas,
+                           envmap=envd)
+
+
+def load_scene(path: str, env_map: str | None = None) -> HostScene:
+    """Load a model by extension (reference: src/scene.cpp:53-103)."""
+    ext = os.path.splitext(path)[1].lower()
+    pool = TexturePool()
+    if ext == ".ply":
+        v0, v1, v2, n0, n1, n2, uv0, uv1, uv2 = load_ply(path)
+        mats = [default_material()]
+        mat_id = np.zeros(len(v0), np.int32)
+        map_arrays = None
+    elif ext == ".obj":
+        mesh = load_obj(path)
+        v0, v1, v2 = mesh.v0, mesh.v1, mesh.v2
+        n0, n1, n2 = mesh.n0, mesh.n1, mesh.n2
+        uv0, uv1, uv2 = mesh.uv0, mesh.uv1, mesh.uv2
+        mat_id = mesh.mat_id
+        mats = [default_material()] + mesh.materials
+        folder = os.path.dirname(path)
+        map_kd = np.full(len(mats), -1, np.int32)
+        map_ks = np.full(len(mats), -1, np.int32)
+        map_n = np.full(len(mats), -1, np.int32)
+        for i, m in enumerate(mats[1:], start=1):
+            if m.map_kd:
+                map_kd[i] = pool.try_import(os.path.join(folder, m.map_kd),
+                                            m.map_kd)
+            if m.map_ks:
+                map_ks[i] = pool.try_import(os.path.join(folder, m.map_ks),
+                                            m.map_ks)
+            if m.map_bump:
+                map_n[i] = pool.try_import(os.path.join(folder, m.map_bump),
+                                           m.map_bump)
+        map_arrays = (map_kd, map_ks, map_n)
+    else:
+        raise ValueError(f"unsupported scene format: {path}")
+
+    scene = HostScene(
+        v0=v0, v1=v1, v2=v2, n0=n0, n1=n1, n2=n2,
+        uv0=uv0, uv1=uv1, uv2=uv2, mat_id=np.asarray(mat_id, np.int32),
+        materials=mats, textures=pool,
+        hash=file_hash(path), name=os.path.basename(path))
+    if map_arrays is not None:
+        scene.map_kd, scene.map_ks, scene.map_n = map_arrays
+    if env_map:
+        scene.load_env_map(env_map)
+    return scene
