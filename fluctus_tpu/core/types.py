@@ -93,6 +93,30 @@ class FlatBVH:
 
 
 @struct.dataclass
+class PackedBVH:
+    """Gather-optimized traversal layout (see accel/pack.py): one row gather
+    per traversal step. root_ref is static-encoded in the arrays' companion
+    int (kept as a 0-d array so the pytree stays traceable)."""
+    child_boxes: jnp.ndarray  # (N, 16) f32
+    child_refs: jnp.ndarray   # (N, 2) i32
+    leaf_tris: jnp.ndarray    # (L, 8, 9) f32 [v0, e1, e2]
+    leaf_ids: jnp.ndarray     # (L, 8) i32
+    root_ref: jnp.ndarray     # () i32 encoded root
+
+
+@struct.dataclass
+class WideBVH:
+    """8-ary fat-leaf traversal layout (see accel/wide.py). root_ref/depth/
+    leaf_width are static (per-scene jit specialization, like the reference's
+    per-scene kernel defines)."""
+    nodes: jnp.ndarray    # (N, 56) f32
+    leaves: jnp.ndarray   # (L, W, 10) f32
+    root_ref: int = struct.field(pytree_node=False, default=0)
+    depth: int = struct.field(pytree_node=False, default=8)
+    leaf_width: int = struct.field(pytree_node=False, default=16)
+
+
+@struct.dataclass
 class Geometry:
     """SoA triangle soup (reference: src/geom.h:89-95 `Triangle`). Padded to a
     lane-friendly length; pad triangles are degenerate (never hit)."""
@@ -137,6 +161,8 @@ class DeviceScene:
     (reference analogue: `deviceBuffers`, src/clcontext.hpp:166-210)."""
     geom: Geometry
     bvh: FlatBVH
+    pbvh: PackedBVH
+    wbvh: WideBVH
     materials: Materials
     atlas: TextureAtlas
     envmap: EnvMap

@@ -18,7 +18,7 @@ from fluctus_tpu.core.types import (
 from fluctus_tpu.ops import bsdf as bsdf_mod
 from fluctus_tpu.ops import envmap as env_ops
 from fluctus_tpu.ops import texture as tex_ops
-from fluctus_tpu.ops import traverse
+from fluctus_tpu.ops import traverse, traverse_packed, traverse_wide
 from fluctus_tpu.ops.intersect import ray_area_light
 
 T_MAX = jnp.float32(3.4e38)
@@ -31,8 +31,13 @@ def trace_scene(scene: DeviceScene, params: RenderParams, cfg: RenderConfig,
     """Closest-hit + optional area-light quad + attribute interpolation
     (reference: src/mk_next_vertex.cl:38-43, src/wf_extrays.cl:27-35)."""
     g = scene.geom
-    tr = traverse.traverse_closest(scene.bvh, g.v0, g.v1, g.v2, orig, dir,
-                                   T_MAX)
+    if cfg.backend == "jnp":
+        tr = traverse.traverse_closest(scene.bvh, g.v0, g.v1, g.v2, orig,
+                                       dir, T_MAX)
+    elif cfg.backend == "packed":
+        tr = traverse_packed.traverse_closest(scene.pbvh, orig, dir, T_MAX)
+    else:
+        tr = traverse_wide.traverse_closest(scene.wbvh, orig, dir, T_MAX)
     prim = tr.prim
     hit_tri = prim >= 0
     p_safe = jnp.maximum(prim, 0)
@@ -88,9 +93,14 @@ class NeeResult(NamedTuple):
 def _shadow_blocked(scene, params, cfg, orig, ldir, lens, check_area_quad):
     """Occlusion test incl. the (virtual) area-light quad blocking env rays
     (reference: mk_sample_bsdf.cl:88-93)."""
-    g = scene.geom
-    blocked = traverse.traverse_any(scene.bvh, g.v0, g.v1, g.v2, orig, ldir,
-                                    lens)
+    if cfg.backend == "jnp":
+        g = scene.geom
+        blocked = traverse.traverse_any(scene.bvh, g.v0, g.v1, g.v2, orig,
+                                        ldir, lens)
+    elif cfg.backend == "packed":
+        blocked = traverse_packed.traverse_any(scene.pbvh, orig, ldir, lens)
+    else:
+        blocked = traverse_wide.traverse_any(scene.wbvh, orig, ldir, lens)
     if check_area_quad and cfg.use_area_light:
         al = params.area_light
         q_hit, _ = ray_area_light(orig, ldir, al.pos, al.right, al.up,

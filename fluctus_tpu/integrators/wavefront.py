@@ -33,7 +33,6 @@ from fluctus_tpu.integrators import common
 from fluctus_tpu.ops import bsdf as bsdf_mod
 from fluctus_tpu.ops import camera as cam_ops
 from fluctus_tpu.ops import envmap as env_ops
-from fluctus_tpu.ops import traverse
 
 
 def _raygen(params, cfg, pixel_idx, spawn_id):
@@ -127,9 +126,9 @@ def _nee_single_light(scene, params, cfg, ctx, sh_orig, wi, types, pix, samp,
         pick_prob = jnp.where(pick_area, 1.0 - env_prob, pick_prob)
         valid = valid | (pick_area & (cos_light > 0.0))
 
-    g = scene.geom
-    blocked = traverse.traverse_any(scene.bvh, g.v0, g.v1, g.v2, sh_orig,
-                                    ldir, jnp.maximum(llen, 1e-6))
+    blocked = common._shadow_blocked(scene, params, cfg, sh_orig, ldir,
+                                     jnp.maximum(llen, 1e-6),
+                                     check_area_quad=False)
 
     f = bsdf_mod.bsdf_eval(ctx, wi, ldir, types)
     cos_th = jnp.maximum(0.0, vm.dot(ldir, ctx.n))

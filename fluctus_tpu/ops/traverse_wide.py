@@ -1,0 +1,211 @@
+"""8-wide fat-leaf BVH traversal with a restart trail — the TPU hot path.
+
+Design rationale (measured on v5e): dependent gathers in a traversal loop are
+latency-bound (~0.5 ms @ 64k lanes, ~4 ms @ 1M lanes per step) while dense
+VPU math is nearly free, so the traversal is restructured to
+  * minimize dependent steps: 8-ary nodes + 16-triangle fat leaves cut the
+    step count ~4-8x vs the binary tree (reference: src/bvh.cl traverses one
+    binary node per step);
+  * avoid ALL dynamic stack indexing: instead of a (B, depth) stack with
+    per-lane scatter/gather (which XLA materializes as full-buffer copies
+    per iteration), a restart TRAIL (Laine 2010 style) keeps only per-level
+    consumed-slot bitmasks + the parent chain, updated with one-hot masks
+    over the tiny static level dimension — pure dense ops;
+  * per iteration exactly one node-row gather (224 B) and at most one
+    leaf-row gather (640 B), both from loop-invariant tables.
+
+Each iteration a lane either (a) visits its current node's nearest
+unconsumed, unpruned child — descending if inner, testing 16 triangles
+densely if leaf — or (b) backtracks one level. Ordering is near-child-first
+by construction (argmin over child tmins), giving the same early-out pruning
+as the reference's near-first binary traversal (src/bvh.cl:286-297).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from fluctus_tpu.core.types import WideBVH
+
+TRI_EPS = jnp.float32(1e-12)
+BIG = jnp.float32(3.0e38)
+
+
+class Traversal(NamedTuple):
+    t: jnp.ndarray
+    prim: jnp.ndarray
+    u: jnp.ndarray
+    v: jnp.ndarray
+
+
+def _inv_dir(d):
+    return 1.0 / jnp.where(jnp.abs(d) < 1e-20,
+                           jnp.where(d < 0, -1e-20, 1e-20), d)
+
+
+def _slab8(orig, inv, boxes, t_best):
+    """boxes: (B, 8, 6). Returns (hit, tmin) each (B, 8)."""
+    lo = boxes[:, :, 0:3]
+    hi = boxes[:, :, 3:6]
+    o = orig[:, None, :]
+    iv = inv[:, None, :]
+    t0 = (lo - o) * iv
+    t1 = (hi - o) * iv
+    tmin = jnp.max(jnp.minimum(t0, t1), axis=-1)
+    tmax = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    hit = (tmax >= 0.0) & (tmin <= tmax) & (tmin < t_best[:, None])
+    return hit, tmin
+
+
+def _moller(rows, orig, dir, best_t, mask):
+    """rows: (B, W, 10) [v0 e1 e2 id]; returns per-slot (t,u,v,ids,ok)."""
+    a = rows[..., 0:3]
+    e1 = rows[..., 3:6]
+    e2 = rows[..., 6:9]
+    ids = jax.lax.bitcast_convert_type(rows[..., 9], jnp.int32)
+    o = orig[:, None, :]
+    d = dir[:, None, :]
+    pvec = jnp.cross(d, e2)
+    det = jnp.sum(e1 * pvec, axis=-1)
+    ok = jnp.abs(det) >= TRI_EPS
+    idet = 1.0 / jnp.where(ok, det, 1.0)
+    tvec = o - a
+    u = jnp.sum(tvec * pvec, axis=-1) * idet
+    qvec = jnp.cross(tvec, e1)
+    v = jnp.sum(d * qvec, axis=-1) * idet
+    t = jnp.sum(e2 * qvec, axis=-1) * idet
+    ok = ok & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0) \
+        & (t >= 0.0) & (ids >= 0) & mask[:, None] & (t < best_t[:, None])
+    return t, u, v, ids, ok
+
+
+def _onehot(x, n):
+    return x[:, None] == jnp.arange(n, dtype=x.dtype)[None, :]
+
+
+def _traverse(bvh: WideBVH, orig, dir, t_max, any_hit: bool):
+    b = orig.shape[0]
+    lvl = bvh.depth + 1
+    inv = _inv_dir(dir)
+    best_t = jnp.asarray(t_max, jnp.float32) * jnp.ones((b,), jnp.float32)
+    best_prim = jnp.full((b,), -1, jnp.int32)
+    best_u = jnp.zeros((b,), jnp.float32)
+    best_v = jnp.zeros((b,), jnp.float32)
+    blocked = jnp.zeros((b,), bool)
+
+    if bvh.root_ref < 0:
+        # whole scene is one fat leaf
+        li = jnp.full((b,), ~bvh.root_ref, jnp.int32)
+        rows = bvh.leaves[li]
+        t, u, v, ids, ok = _moller(rows, orig, dir, best_t,
+                                   jnp.ones((b,), bool))
+        t_sel = jnp.where(ok, t, jnp.inf)
+        j = jnp.argmin(t_sel, axis=1)
+        got = jnp.take_along_axis(ok, j[:, None], 1)[:, 0]
+        pick = lambda a: jnp.take_along_axis(a, j[:, None], 1)[:, 0]
+        if any_hit:
+            return Traversal(best_t, best_prim, best_u, best_v), \
+                jnp.any(ok, axis=1)
+        return Traversal(jnp.where(got, pick(t), best_t),
+                         jnp.where(got, pick(ids), best_prim),
+                         jnp.where(got, pick(u), best_u),
+                         jnp.where(got, pick(v), best_v)), blocked
+
+    cur = jnp.full((b,), bvh.root_ref, jnp.int32)
+    level = jnp.zeros((b,), jnp.int32)
+    trail = jnp.zeros((b, lvl), jnp.int32)
+    chain = jnp.zeros((b, lvl), jnp.int32)
+    lvl_range = jnp.arange(lvl, dtype=jnp.int32)
+
+    def cond(s):
+        level, blocked = s[1], s[8]
+        live = level >= 0
+        if any_hit:
+            live = live & ~blocked
+        return jnp.any(live)
+
+    def body(s):
+        cur, level, trail, chain, best_t, best_prim, best_u, best_v, \
+            blocked = s
+        act = level >= 0
+        if any_hit:
+            act = act & ~blocked
+        lvl_oh = _onehot(jnp.maximum(level, 0), lvl)        # (B, LVL)
+
+        # --- fetch current node row (one gather)
+        ni = jnp.where(act, cur, 0)
+        row = bvh.nodes[ni]                                  # (B, 56)
+        boxes = row[:, 0:48].reshape(b, 8, 6)
+        refs = jax.lax.bitcast_convert_type(row[:, 48:56], jnp.int32)
+        hit, tmin = _slab8(orig, inv, boxes, best_t)
+
+        # --- mask consumed children via the trail bitmask at this level
+        tr = jnp.sum(trail * lvl_oh, axis=1)                 # (B,)
+        bits = (tr[:, None] >> jnp.arange(8, dtype=jnp.int32)[None, :]) & 1
+        avail = hit & (bits == 0)
+        t_sel = jnp.where(avail, tmin, jnp.inf)
+        slot = jnp.argmin(t_sel, axis=1).astype(jnp.int32)
+        s_min = jnp.min(t_sel, axis=1)
+        has = act & (s_min < BIG)
+
+        # --- consume the chosen slot
+        slot_oh = _onehot(slot, 8)
+        new_bit = jnp.sum(jnp.where(slot_oh, 1 << jnp.arange(8), 0), axis=1)
+        trail = jnp.where((lvl_oh & has[:, None]),
+                          trail | new_bit[:, None], trail)
+        ref = jnp.sum(jnp.where(slot_oh, refs, 0), axis=1)
+
+        is_leaf = ref < 0
+        visit_leaf = has & is_leaf
+        descend = has & ~is_leaf
+        backtrack = act & ~has
+
+        # --- leaf: dense 16-wide Möller from one row gather
+        li = jnp.where(visit_leaf, ~ref, 0)
+        rows_l = bvh.leaves[li]                              # (B, W, 10)
+        t, u, v, ids, ok = _moller(rows_l, orig, dir, best_t, visit_leaf)
+        if any_hit:
+            blocked = blocked | jnp.any(ok, axis=1)
+        else:
+            t_leaf = jnp.where(ok, t, jnp.inf)
+            j = jnp.argmin(t_leaf, axis=1)
+            got = jnp.take_along_axis(ok, j[:, None], 1)[:, 0]
+            pick = lambda a: jnp.take_along_axis(a, j[:, None], 1)[:, 0]
+            best_prim = jnp.where(got, pick(ids), best_prim)
+            best_u = jnp.where(got, pick(u), best_u)
+            best_v = jnp.where(got, pick(v), best_v)
+            best_t = jnp.where(got, pick(t), best_t)
+
+        # --- descend: remember parent, clear child trail level
+        chain = jnp.where(lvl_oh & descend[:, None], cur[:, None], chain)
+        next_lvl_oh = lvl_range[None, :] == (level + 1)[:, None]
+        trail = jnp.where(next_lvl_oh & descend[:, None], 0, trail)
+        cur = jnp.where(descend, ref, cur)
+        level = jnp.where(descend, level + 1, level)
+
+        # --- backtrack: pop one level, restore parent from the chain
+        level = jnp.where(backtrack, level - 1, level)
+        parent_oh = lvl_range[None, :] == jnp.maximum(level, 0)[:, None]
+        parent = jnp.sum(jnp.where(parent_oh, chain, 0), axis=1)
+        cur = jnp.where(backtrack & (level >= 0), parent, cur)
+
+        return (cur, level, trail, chain, best_t, best_prim, best_u,
+                best_v, blocked)
+
+    s = (cur, level, trail, chain, best_t, best_prim, best_u, best_v,
+         blocked)
+    s = jax.lax.while_loop(cond, body, s)
+    return Traversal(s[4], s[5], s[6], s[7]), s[8]
+
+
+def traverse_closest(bvh: WideBVH, orig, dir, t_max) -> Traversal:
+    res, _ = _traverse(bvh, orig, dir, t_max, any_hit=False)
+    return res
+
+
+def traverse_any(bvh: WideBVH, orig, dir, t_max) -> jnp.ndarray:
+    _, blocked = _traverse(bvh, orig, dir, t_max, any_hit=True)
+    return blocked

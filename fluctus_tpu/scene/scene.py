@@ -150,8 +150,11 @@ class HostScene:
         src/clcontext.cpp:522-611)."""
         import jax.numpy as jnp
 
+        from fluctus_tpu.accel.pack import pack_bvh
+        from fluctus_tpu.accel.wide import build_wide
         from fluctus_tpu.core.types import (
-            DeviceScene, EnvMap, FlatBVH, Geometry, Materials, TextureAtlas)
+            DeviceScene, EnvMap, FlatBVH, Geometry, Materials, PackedBVH,
+            TextureAtlas, WideBVH)
 
         if self.bvh is None:
             self.build_bvh(cache_dir=None, use_sbvh=False)
@@ -169,6 +172,19 @@ class HostScene:
             node_count=jnp.asarray(self.bvh.node_count),
             node_parent=jnp.asarray(self.bvh.node_parent),
             prim_idx=jnp.asarray(self.bvh.prim_idx))
+        packed = pack_bvh(self.bvh, self.v0, self.v1, self.v2)
+        pbvh = PackedBVH(
+            child_boxes=jnp.asarray(packed.child_boxes),
+            child_refs=jnp.asarray(packed.child_refs),
+            leaf_tris=jnp.asarray(packed.leaf_tris),
+            leaf_ids=jnp.asarray(packed.leaf_ids),
+            root_ref=jnp.asarray(packed.root_ref, jnp.int32))
+        wide = build_wide(self.bvh, self.v0, self.v1, self.v2)
+        wbvh = WideBVH(
+            nodes=jnp.asarray(wide.nodes),
+            leaves=jnp.asarray(wide.leaves),
+            root_ref=int(wide.root_ref), depth=int(wide.depth),
+            leaf_width=int(wide.leaves.shape[1]))
         kd, ks, ke, ns, ni, map_kd, map_ks, map_n, bsdf_id = \
             self.material_arrays()
         mats = Materials(
@@ -186,8 +202,8 @@ class HostScene:
             pdf_table=jnp.asarray(env.pdf_table),
             prob_table=jnp.asarray(env.prob_table),
             alias_table=jnp.asarray(env.alias_table))
-        return DeviceScene(geom=geom, bvh=bvh, materials=mats, atlas=atlas,
-                           envmap=envd)
+        return DeviceScene(geom=geom, bvh=bvh, pbvh=pbvh, wbvh=wbvh,
+                           materials=mats, atlas=atlas, envmap=envd)
 
 
 def load_scene(path: str, env_map: str | None = None) -> HostScene:

@@ -1,0 +1,124 @@
+import jax.numpy as jnp
+import numpy as np
+
+from fluctus_tpu.accel import bvh as bvh_mod, cpu_ref
+from fluctus_tpu.accel.pack import pack_bvh
+from fluctus_tpu.core.types import PackedBVH
+from fluctus_tpu.ops import traverse_packed
+
+from test_bvh import random_rays, random_tris
+
+
+def to_packed(built, v0, v1, v2) -> PackedBVH:
+    p = pack_bvh(built, v0, v1, v2)
+    return PackedBVH(
+        child_boxes=jnp.asarray(p.child_boxes),
+        child_refs=jnp.asarray(p.child_refs),
+        leaf_tris=jnp.asarray(p.leaf_tris),
+        leaf_ids=jnp.asarray(p.leaf_ids),
+        root_ref=jnp.asarray(p.root_ref, jnp.int32))
+
+
+def test_packed_closest_matches_oracle(rng):
+    v0, v1, v2 = random_tris(rng, m=300)
+    orig, dir = random_rays(rng, b=256)
+    built = bvh_mod.build_bvh(v0, v1, v2)
+    pbvh = to_packed(built, v0, v1, v2)
+    t_max = np.float32(1e30)
+    res = traverse_packed.traverse_closest(
+        pbvh, jnp.asarray(orig), jnp.asarray(dir), t_max)
+    t_ref, prim_ref, _, _ = cpu_ref.intersect_closest(v0, v1, v2, orig, dir,
+                                                      t_max)
+    np.testing.assert_array_equal(np.asarray(res.prim) >= 0, prim_ref >= 0)
+    hit = prim_ref >= 0
+    np.testing.assert_allclose(np.asarray(res.t)[hit], t_ref[hit],
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_packed_any_matches_oracle(rng):
+    v0, v1, v2 = random_tris(rng, m=300)
+    orig, dir = random_rays(rng, b=256)
+    built = bvh_mod.build_bvh(v0, v1, v2)
+    pbvh = to_packed(built, v0, v1, v2)
+    t_max = np.full(len(orig), 2.5, np.float32)
+    blocked = traverse_packed.traverse_any(
+        pbvh, jnp.asarray(orig), jnp.asarray(dir), jnp.asarray(t_max))
+    ref = cpu_ref.intersect_any(v0, v1, v2, orig, dir, t_max)
+    np.testing.assert_array_equal(np.asarray(blocked), ref)
+
+
+def test_packed_single_leaf_root(rng):
+    """Root that is itself a leaf (tiny scene) must traverse correctly."""
+    v0 = np.array([[0, 0, 0], [2, 0, 0]], np.float32)
+    v1 = np.array([[1, 0, 0], [3, 0, 0]], np.float32)
+    v2 = np.array([[0, 1, 0], [2, 1, 0]], np.float32)
+    built = bvh_mod.build_bvh(v0, v1, v2)
+    assert built.node_count[0] > 0  # 2 tris <= max_leaf -> root leaf
+    pbvh = to_packed(built, v0, v1, v2)
+    orig = np.array([[0.2, 0.2, 1.0], [9.0, 9.0, 1.0]], np.float32)
+    dir = np.array([[0, 0, -1], [0, 0, -1]], np.float32)
+    res = traverse_packed.traverse_closest(
+        pbvh, jnp.asarray(orig), jnp.asarray(dir), np.float32(1e30))
+    assert np.asarray(res.prim).tolist() == [0, -1]
+
+
+def test_backend_parity_full_render():
+    """Both traversal backends must produce identical images (same RNG)."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_integrator import plane_session
+    from fluctus_tpu.integrators import lockstep
+
+    scene, params, cfg = plane_session()
+    a = lockstep.render(scene, params, cfg.replace(backend="jnp"), 2)
+    b = lockstep.render(scene, params, cfg.replace(backend="packed"), 2)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_wide_matches_oracle(rng):
+    from fluctus_tpu.accel.wide import build_wide
+    from fluctus_tpu.core.types import WideBVH
+    from fluctus_tpu.ops import traverse_wide
+
+    v0, v1, v2 = random_tris(rng, m=500)
+    orig, dir = random_rays(rng, b=256)
+    built = bvh_mod.build_bvh(v0, v1, v2)
+    w = build_wide(built, v0, v1, v2)
+    wbvh = WideBVH(nodes=jnp.asarray(w.nodes), leaves=jnp.asarray(w.leaves),
+                   root_ref=int(w.root_ref), depth=int(w.depth),
+                   leaf_width=int(w.leaves.shape[1]))
+    t_max = np.float32(1e30)
+    res = traverse_wide.traverse_closest(wbvh, jnp.asarray(orig),
+                                         jnp.asarray(dir), t_max)
+    t_ref, prim_ref, _, _ = cpu_ref.intersect_closest(v0, v1, v2, orig, dir,
+                                                      t_max)
+    np.testing.assert_array_equal(np.asarray(res.prim) >= 0, prim_ref >= 0)
+    hit = prim_ref >= 0
+    np.testing.assert_allclose(np.asarray(res.t)[hit], t_ref[hit],
+                               rtol=1e-4, atol=1e-5)
+    # occlusion
+    t2 = np.full(len(orig), 2.5, np.float32)
+    blocked = traverse_wide.traverse_any(wbvh, jnp.asarray(orig),
+                                         jnp.asarray(dir), jnp.asarray(t2))
+    ref_any = cpu_ref.intersect_any(v0, v1, v2, orig, dir, t2)
+    np.testing.assert_array_equal(np.asarray(blocked), ref_any)
+
+
+def test_wide_tiny_scene_leaf_root(rng):
+    from fluctus_tpu.accel.wide import build_wide
+    from fluctus_tpu.core.types import WideBVH
+    from fluctus_tpu.ops import traverse_wide
+
+    v0, v1, v2 = random_tris(rng, m=10)  # <= leaf_width -> leaf root
+    built = bvh_mod.build_bvh(v0, v1, v2)
+    w = build_wide(built, v0, v1, v2)
+    assert w.root_ref < 0
+    wbvh = WideBVH(nodes=jnp.asarray(w.nodes), leaves=jnp.asarray(w.leaves),
+                   root_ref=int(w.root_ref), depth=int(w.depth),
+                   leaf_width=int(w.leaves.shape[1]))
+    orig, dir = random_rays(rng, b=64)
+    res = traverse_wide.traverse_closest(wbvh, jnp.asarray(orig),
+                                         jnp.asarray(dir), np.float32(1e30))
+    t_ref, prim_ref, _, _ = cpu_ref.intersect_closest(v0, v1, v2, orig, dir)
+    np.testing.assert_array_equal(np.asarray(res.prim) >= 0, prim_ref >= 0)
