@@ -18,12 +18,42 @@ from fluctus_tpu.core.types import (
 from fluctus_tpu.ops import bsdf as bsdf_mod
 from fluctus_tpu.ops import envmap as env_ops
 from fluctus_tpu.ops import texture as tex_ops
-from fluctus_tpu.ops import traverse, traverse_packed, traverse_wide
+from fluctus_tpu.ops import (ray_sort, traverse, traverse_packed,
+                             traverse_pallas, traverse_wide)
 from fluctus_tpu.ops.intersect import ray_area_light
 
 T_MAX = jnp.float32(3.4e38)
 OFFSET_SHADOW = 1e-3   # reference: wf_logic.cl:184 (orig = P - 1e-3*dir)
 OFFSET_CONT = 1e-4     # reference: wf_mat_diffuse.cl:54 (P + 1e-4*newDir)
+
+
+def _wbvh_bounds(wbvh):
+    """Scene AABB from the root node's child boxes (empty slots have
+    lo.x=+inf and are masked)."""
+    root = max(int(wbvh.root_ref), 0)
+    boxes = wbvh.nodes[root, 0:48].reshape(8, 6)
+    valid = jnp.isfinite(boxes[:, 0])[:, None]
+    lo = jnp.min(jnp.where(valid, boxes[:, 0:3], jnp.inf), axis=0)
+    hi = jnp.max(jnp.where(valid, boxes[:, 3:6], -jnp.inf), axis=0)
+    return lo, hi
+
+
+def _pallas_closest(scene, orig, dir, t_max):
+    lo, hi = _wbvh_bounds(scene.wbvh)
+    return ray_sort.sorted_apply(
+        orig, dir, lo, hi,
+        lambda o, d: traverse_pallas.traverse_closest(scene.wbvh, o, d,
+                                                      t_max))
+
+
+def _pallas_any(scene, orig, dir, lens):
+    lo, hi = _wbvh_bounds(scene.wbvh)
+    keys = ray_sort.ray_sort_keys(orig, dir, lo, hi)
+    order = jnp.argsort(keys)
+    inv = jnp.argsort(order)
+    blocked = traverse_pallas.traverse_any(scene.wbvh, orig[order],
+                                           dir[order], lens[order])
+    return blocked[inv]
 
 
 def trace_scene(scene: DeviceScene, params: RenderParams, cfg: RenderConfig,
@@ -36,6 +66,8 @@ def trace_scene(scene: DeviceScene, params: RenderParams, cfg: RenderConfig,
                                        dir, T_MAX)
     elif cfg.backend == "packed":
         tr = traverse_packed.traverse_closest(scene.pbvh, orig, dir, T_MAX)
+    elif cfg.backend == "pallas":
+        tr = _pallas_closest(scene, orig, dir, T_MAX)
     else:
         tr = traverse_wide.traverse_closest(scene.wbvh, orig, dir, T_MAX)
     prim = tr.prim
@@ -99,6 +131,9 @@ def _shadow_blocked(scene, params, cfg, orig, ldir, lens, check_area_quad):
                                         ldir, lens)
     elif cfg.backend == "packed":
         blocked = traverse_packed.traverse_any(scene.pbvh, orig, ldir, lens)
+    elif cfg.backend == "pallas":
+        blocked = _pallas_any(scene, orig, ldir,
+                              lens * jnp.ones(orig.shape[0], jnp.float32))
     else:
         blocked = traverse_wide.traverse_any(scene.wbvh, orig, ldir, lens)
     if check_area_quad and cfg.use_area_light:

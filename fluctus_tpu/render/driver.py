@@ -58,7 +58,14 @@ def create_session(scene_path: str, env_map: str | None = None,
 
     if cfg is None:
         cfg = RenderConfig()
+    backend = cfg.backend
+    if backend == "auto":
+        from fluctus_tpu.ops.traverse_pallas import fits_vmem
+        import jax
+        on_tpu = jax.default_backend() not in ("cpu",)
+        backend = "pallas" if (on_tpu and fits_vmem(device.wbvh)) else "wide"
     cfg = cfg.replace(
+        backend=backend,
         bsdf_types_mask=host.material_types_mask,
         use_env_map=cfg.use_env_map and host.envmap is not None,
     )
