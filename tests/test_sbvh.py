@@ -1,0 +1,93 @@
+import jax.numpy as jnp
+import numpy as np
+
+from fluctus_tpu.accel import cpu_ref
+from fluctus_tpu.accel.sbvh import build_sbvh
+from fluctus_tpu.accel.bvh import build_bvh
+from fluctus_tpu.accel.wide import build_wide
+from fluctus_tpu.core.types import FlatBVH, WideBVH
+from fluctus_tpu.ops import traverse, traverse_wide
+
+from test_bvh import random_rays, random_tris, to_device_bvh
+
+
+def long_thin_tris(rng, m=150):
+    """Elongated triangles spanning the scene — the case spatial splits
+    exist for (object splits produce heavily overlapping children)."""
+    a = rng.uniform(-3, 3, (m, 3)).astype(np.float32)
+    d = rng.normal(size=(m, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    v0 = a
+    v1 = a + d * rng.uniform(2.0, 5.0, (m, 1)).astype(np.float32)
+    v2 = a + rng.uniform(-0.05, 0.05, (m, 3)).astype(np.float32)
+    return v0, v1, v2
+
+
+def test_sbvh_duplicates_and_correctness(rng):
+    v0, v1, v2 = long_thin_tris(rng)
+    built = build_sbvh(v0, v1, v2)
+    # spatial splits should duplicate some references on this geometry
+    assert len(built.prim_idx) >= len(v0)
+    # every triangle still referenced at least once
+    assert set(built.prim_idx.tolist()) == set(range(len(v0)))
+
+    dbvh = to_device_bvh(built)
+    orig, dir = random_rays(rng, b=256)
+    res = traverse.traverse_closest(
+        dbvh, jnp.asarray(v0), jnp.asarray(v1), jnp.asarray(v2),
+        jnp.asarray(orig), jnp.asarray(dir), np.float32(1e30))
+    t_ref, prim_ref, _, _ = cpu_ref.intersect_closest(v0, v1, v2, orig, dir)
+    np.testing.assert_array_equal(np.asarray(res.prim) >= 0, prim_ref >= 0)
+    hit = prim_ref >= 0
+    np.testing.assert_allclose(np.asarray(res.t)[hit], t_ref[hit],
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_sbvh_wide_collapse_correct(rng):
+    """The wide collapse must stay correct on SBVH trees with duplicates."""
+    v0, v1, v2 = long_thin_tris(rng, m=120)
+    built = build_sbvh(v0, v1, v2)
+    w = build_wide(built, v0, v1, v2)
+    wbvh = WideBVH(nodes=jnp.asarray(w.nodes), leaves=jnp.asarray(w.leaves),
+                   root_ref=int(w.root_ref), depth=int(w.depth),
+                   leaf_width=int(w.leaves.shape[1]))
+    orig, dir = random_rays(rng, b=256)
+    res = traverse_wide.traverse_closest(wbvh, jnp.asarray(orig),
+                                         jnp.asarray(dir), np.float32(1e30))
+    t_ref, prim_ref, _, _ = cpu_ref.intersect_closest(v0, v1, v2, orig, dir)
+    np.testing.assert_array_equal(np.asarray(res.prim) >= 0, prim_ref >= 0)
+    hit = prim_ref >= 0
+    np.testing.assert_allclose(np.asarray(res.t)[hit], t_ref[hit],
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_sbvh_quality_not_worse_on_compact_tris(rng):
+    """On compact tris (no need for spatial splits) SBVH ~ BVH node counts."""
+    v0, v1, v2 = random_tris(rng, m=300)
+    sb = build_sbvh(v0, v1, v2)
+    b = build_bvh(v0, v1, v2)
+    assert sb.n_nodes <= b.n_nodes * 2
+    assert len(sb.prim_idx) <= int(len(v0) * 1.6)
+
+
+def test_native_builder_parity(rng):
+    """C++ builder produces the same tree as the NumPy reference builder
+    (deterministic tie-breaking permitting: identical ref/node counts and
+    oracle-verified traversal)."""
+    from fluctus_tpu.accel import native
+    if not native.available():
+        import pytest
+        pytest.skip("no g++ toolchain")
+    v0, v1, v2 = long_thin_tris(rng, m=200)
+    nb = native.build_native(v0, v1, v2, 8, 64, 1e-5, True)
+    pb = build_sbvh(v0, v1, v2)
+    assert nb.n_nodes == pb.n_nodes
+    assert len(nb.prim_idx) == len(pb.prim_idx)
+    # correctness through traversal
+    dbvh = to_device_bvh(nb)
+    orig, dir = random_rays(rng, b=128)
+    res = traverse.traverse_closest(
+        dbvh, jnp.asarray(v0), jnp.asarray(v1), jnp.asarray(v2),
+        jnp.asarray(orig), jnp.asarray(dir), np.float32(1e30))
+    t_ref, prim_ref, _, _ = cpu_ref.intersect_closest(v0, v1, v2, orig, dir)
+    np.testing.assert_array_equal(np.asarray(res.prim) >= 0, prim_ref >= 0)
