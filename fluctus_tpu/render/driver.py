@@ -49,9 +49,11 @@ def create_session(scene_path: str, env_map: str | None = None,
                    cfg: RenderConfig | None = None,
                    use_sbvh: bool = True,
                    cache_dir: str | None = "data/hierarchies",
-                   auto_frame: bool = True) -> RenderSession:
-    """Load scene, build/cache hierarchy, upload, derive params
-    (reference: Tracer::init, src/tracer.cpp:55-80)."""
+                   auto_frame: bool = True,
+                   state_dir: str | None = "data/states") -> RenderSession:
+    """Load scene, build/cache hierarchy, upload, derive params, restore
+    per-scene saved state (reference: Tracer::init, src/tracer.cpp:55-80 +
+    loadState :634-687)."""
     host = load_scene(scene_path, env_map=env_map)
     host.build_bvh(cache_dir=cache_dir, use_sbvh=use_sbvh)
     device = host.to_device()
@@ -72,6 +74,9 @@ def create_session(scene_path: str, env_map: str | None = None,
     params = default_params(world_radius=host.world_radius())
     if auto_frame:
         params = auto_frame_camera(params, host)
+    if state_dir:
+        from fluctus_tpu.render.state import load_state
+        params = load_state(params, host.hash, state_dir=state_dir)
     return RenderSession(host_scene=host, scene=device, params=params,
                          cfg=cfg)
 
