@@ -144,8 +144,19 @@ def _shadow_blocked(scene, params, cfg, orig, ldir, lens, check_area_quad):
     return blocked
 
 
+def neutralize_rays(orig, dir, active):
+    """Replace inactive lanes' rays with guaranteed-miss rays so they do not
+    expand packet unions or waste traversal steps (dead lanes in the
+    lockstep integrator would otherwise re-trace stale rays)."""
+    far = jnp.asarray([3.0e37, 3.0e37, 3.0e37], jnp.float32)
+    up = jnp.asarray([0.0, 0.0, 1.0], jnp.float32)
+    o = vm.where3(active, orig, jnp.broadcast_to(far, orig.shape))
+    d = vm.where3(active, dir, jnp.broadcast_to(up, dir.shape))
+    return o, d
+
+
 def nee_env(scene, params, cfg, ctx, sh_orig, wi, types_mask, pix, samp,
-            bounce, light_pick_prob):
+            bounce, light_pick_prob, active=None):
     """Next-event estimation against the env map via alias sampling
     (reference: mk_sample_bsdf.cl:71-117)."""
     u = rng.uniform(pix, samp, bounce, rng.Streams.LIGHT_U)
@@ -153,7 +164,9 @@ def nee_env(scene, params, cfg, ctx, sh_orig, wi, types_mask, pix, samp,
     L = vm.normalize(L)
     len_l = 2.0 * params.world_radius * jnp.ones(wi.shape[0], jnp.float32)
 
-    blocked = _shadow_blocked(scene, params, cfg, sh_orig, L, len_l,
+    sh_o, L_t = (sh_orig, L) if active is None else \
+        neutralize_rays(sh_orig, L, active)
+    blocked = _shadow_blocked(scene, params, cfg, sh_o, L_t, len_l,
                               check_area_quad=True)
     f = bsdf_mod.bsdf_eval(ctx, wi, L, types_mask)
     cos_th = jnp.maximum(0.0, vm.dot(L, ctx.n))
@@ -170,7 +183,7 @@ def nee_env(scene, params, cfg, ctx, sh_orig, wi, types_mask, pix, samp,
 
 
 def nee_area(scene, params, cfg, ctx, sh_orig, wi, types_mask, pix, samp,
-             bounce, light_pick_prob, shorten=1.0):
+             bounce, light_pick_prob, shorten=1.0, active=None):
     """Next-event estimation against the rectangular area light
     (reference: mk_sample_bsdf.cl:120-155; WF shortens the ray by 0.995,
     wf_logic.cl:272)."""
@@ -185,7 +198,9 @@ def nee_area(scene, params, cfg, ctx, sh_orig, wi, types_mask, pix, samp,
     len_l = dist * shorten
 
     cos_light = jnp.maximum(vm.dot(al.normal, -L), 0.0)
-    blocked = _shadow_blocked(scene, params, cfg, sh_orig, L, len_l,
+    sh_o, L_t = (sh_orig, L) if active is None else \
+        neutralize_rays(sh_orig, L, active)
+    blocked = _shadow_blocked(scene, params, cfg, sh_o, L_t, len_l,
                               check_area_quad=False)
     f = bsdf_mod.bsdf_eval(ctx, wi, L, types_mask)
     cos_th = jnp.maximum(0.0, vm.dot(L, ctx.n))

@@ -60,7 +60,8 @@ def sample_radiance(scene: DeviceScene, params: RenderParams,
     def bounce_body(carry, bounce):
         orig, dir, throughput, ei, last_pdf_w, last_specular, alive = carry
         path_len = bounce + 1
-        hit = common.trace_scene(scene, params, cfg, orig, dir)
+        t_orig, t_dir = common.neutralize_rays(orig, dir, alive)
+        hit = common.trace_scene(scene, params, cfg, t_orig, t_dir)
 
         # --- implicit environment hit (mk_next_vertex.cl:72-96)
         miss = hit.prim < 0
@@ -95,12 +96,14 @@ def sample_radiance(scene: DeviceScene, params: RenderParams,
             nee_mask = alive & ~singular
             if cfg.use_env_map:
                 c = common.nee_env(scene, params, cfg, ctx, sh_orig, dir,
-                                   types, pix, samp, bounce, LIGHT_PICK_PROB)
+                                   types, pix, samp, bounce, LIGHT_PICK_PROB,
+                                   active=nee_mask)
                 ei = ei + vm.where3(nee_mask, throughput * c,
                                     jnp.zeros_like(ei))
             if cfg.use_area_light:
                 c = common.nee_area(scene, params, cfg, ctx, sh_orig, dir,
-                                    types, pix, samp, bounce, LIGHT_PICK_PROB)
+                                    types, pix, samp, bounce, LIGHT_PICK_PROB,
+                                    active=nee_mask)
                 ei = ei + vm.where3(nee_mask, throughput * c,
                                     jnp.zeros_like(ei))
 
