@@ -18,9 +18,12 @@ from fluctus_tpu.parallel.mesh import loss_fn
 def run_optimization(session, target_path: str, steps: int = 100,
                      lr: float = 1e-2, spp: int = 4,
                      out_dir: str = "out/optimize",
-                     diff_keys=("kd",), log_every: int = 10):
-    """SGD/Adam loop on selected scene parameters. Target is a linear .hdr
-    image at the session's resolution."""
+                     diff_keys=("kd",), log_every: int = 10,
+                     checkpoint_every: int = 50, resume: bool = True):
+    """Adam loop on selected scene parameters vs a linear .hdr target, with
+    orbax checkpointing of (params, optimizer state, step) for restart
+    (capability the reference lacks — SURVEY §5.3/§5.4 notes the TPU build
+    needs real optimizer checkpointing)."""
     from fluctus_tpu.io.hdr import read_hdr
 
     os.makedirs(out_dir, exist_ok=True)
@@ -44,6 +47,21 @@ def run_optimization(session, target_path: str, steps: int = 100,
     opt_state = tx.init(diff)
     pixel_idx = jnp.arange(cfg.width * cfg.height, dtype=jnp.uint32)
 
+    # --- checkpoint/resume (orbax)
+    import orbax.checkpoint as ocp
+    ckpt_dir = os.path.abspath(os.path.join(out_dir, "ckpt"))
+    mngr = ocp.CheckpointManager(ckpt_dir)
+    start_step = 0
+    if resume and mngr.latest_step() is not None:
+        restored = mngr.restore(
+            mngr.latest_step(),
+            args=ocp.args.StandardRestore({"diff": diff,
+                                           "opt_state": opt_state}))
+        diff = restored["diff"]
+        opt_state = restored["opt_state"]
+        start_step = mngr.latest_step() + 1
+        print(f"resumed from checkpoint step {mngr.latest_step()}")
+
     @jax.jit
     def step(diff, opt_state, sample_idx):
         def spp_loss(d):
@@ -59,11 +77,15 @@ def run_optimization(session, target_path: str, steps: int = 100,
         return diff, opt_state, loss
 
     history = []
-    for i in range(steps):
+    for i in range(start_step, steps):
         diff, opt_state, loss = step(diff, opt_state, jnp.uint32(i))
         history.append(float(loss))
         if i % log_every == 0:
             print(f"step {i}: loss {float(loss):.6f}")
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            mngr.save(i, args=ocp.args.StandardSave(
+                {"diff": diff, "opt_state": opt_state}))
+    mngr.wait_until_finished()
     np.save(os.path.join(out_dir, "loss_history.npy"), np.asarray(history))
     for k, v in diff.items():
         np.save(os.path.join(out_dir, f"opt_{k}.npy"), np.asarray(v))

@@ -244,6 +244,23 @@ def load_scene(path: str, env_map: str | None = None) -> HostScene:
                 map_n[i] = pool.try_import(os.path.join(folder, m.map_bump),
                                            m.map_bump)
         map_arrays = (map_kd, map_ks, map_n)
+    elif ext == ".pbrt":
+        from fluctus_tpu.scene.loaders.pbrt import load_pbrt
+        (v0, v1, v2, n0, n1, n2, uv0, uv1, uv2, mat_id,
+         pbrt_mats) = load_pbrt(path)
+        mats = [default_material()] + pbrt_mats
+        folder = os.path.dirname(path)
+        map_kd = np.full(len(mats), -1, np.int32)
+        map_ks = np.full(len(mats), -1, np.int32)
+        map_n = np.full(len(mats), -1, np.int32)
+        for i, m in enumerate(mats[1:], start=1):
+            if m.map_kd:
+                map_kd[i] = pool.try_import(os.path.join(folder, m.map_kd),
+                                            m.map_kd)
+            if m.map_ks:
+                map_ks[i] = pool.try_import(os.path.join(folder, m.map_ks),
+                                            m.map_ks)
+        map_arrays = (map_kd, map_ks, map_n)
     else:
         raise ValueError(f"unsupported scene format: {path}")
 
