@@ -1,0 +1,75 @@
+"""Multi-host distributed setup + scaling-efficiency harness.
+
+SURVEY §2.4/§5.8: the reference has no distributed layer at all; this module
+is the new first-class component. Design: `jax.distributed` per host, one
+global 1-D mesh over every chip, pixels/samples partitioned per host via the
+standard rays-axis sharding in parallel/mesh.py; the only cross-host traffic
+is the psum of scene-parameter gradients and final framebuffer gathers.
+
+On a single process this degrades gracefully (mesh over local devices), so
+the same entry points serve the virtual 8-device CPU mesh used in CI and a
+real multi-host v5p slice (target: ≥85% rays/s efficiency 1 → N hosts,
+BASELINE.md).
+"""
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fluctus_tpu.parallel import mesh as pmesh
+
+
+def initialize(coordinator_address: str | None = None,
+               num_processes: int | None = None,
+               process_id: int | None = None) -> None:
+    """Initialize jax.distributed when running multi-process. No-op for a
+    single process (the common single-host case)."""
+    if num_processes is None or num_processes <= 1:
+        return
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
+def scaling_benchmark(scene, params, cfg, spp: int = 1,
+                      device_counts=None) -> list[dict]:
+    """Measure rays/s on meshes of growing device count (1, 2, 4, ... all).
+
+    On real hardware this is the 1-host → N-host scaling protocol; on the
+    virtual CPU mesh it validates the machinery and the sharding layout.
+    Returns one record per mesh size with parallel efficiency vs 1 device.
+    """
+    devices = jax.devices()
+    if device_counts is None:
+        device_counts = [n for n in (1, 2, 4, 8, 16, 32)
+                         if n <= len(devices)]
+    n_pix = cfg.width * cfg.height
+    bounces = cfg.max_bounces + 1
+    n_lights = (1 if cfg.use_env_map else 0) + (1 if cfg.use_area_light else 0)
+    rays_per_sample = n_pix * bounces * (1 + (n_lights if cfg.sample_expl
+                                              else 0))
+    results = []
+    base_rate = None
+    for n in device_counts:
+        m = pmesh.make_mesh(devices[:n])
+        s, p = pmesh.place(scene, params, m)
+        # compile + warm
+        img = pmesh.render_sharded(s, p, cfg, 1, m)
+        img.block_until_ready()
+        t0 = time.perf_counter()
+        img = pmesh.render_sharded(s, p, cfg, spp, m)
+        img.block_until_ready()
+        dt = time.perf_counter() - t0
+        rate = rays_per_sample * spp / dt
+        if base_rate is None:
+            base_rate = rate
+        results.append({
+            "devices": n,
+            "wall_s": dt,
+            "mrays_s": rate / 1e6,
+            "efficiency": rate / (base_rate * n),
+        })
+    return results
