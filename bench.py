@@ -30,18 +30,21 @@ def main():
 
     tile = min(cfg.tile_size, cfg.width * cfg.height)
     idx = jnp.arange(tile, dtype=jnp.uint32)
+    spp_per_launch = 8
     # compile + warmup
-    lockstep._render_tile(scene, params, cfg, idx,
-                          jnp.uint32(0)).block_until_ready()
+    lockstep._render_tile_spp(scene, params, cfg, idx, jnp.uint32(0),
+                              spp_per_launch).block_until_ready()
 
-    iters = 8
+    iters = 2
     t0 = time.perf_counter()
     for s in range(iters):
-        lockstep._render_tile(scene, params, cfg, idx,
-                              jnp.uint32(s + 1)).block_until_ready()
+        lockstep._render_tile_spp(scene, params, cfg, idx,
+                                  jnp.uint32((s + 1) * spp_per_launch),
+                                  spp_per_launch).block_until_ready()
     dt = time.perf_counter() - t0
 
-    primary, ext, shadow = ray_counts_per_sample(cfg, tile * iters)
+    primary, ext, shadow = ray_counts_per_sample(
+        cfg, tile * iters * spp_per_launch)
     total_mrays = (primary + ext + shadow) / dt / 1e6
 
     print(json.dumps({

@@ -137,22 +137,42 @@ def _render_tile(scene, params, cfg, pixel_idx, sample_idx):
     return sample_radiance(scene, params, cfg, pixel_idx, sample_idx)
 
 
+@partial(jax.jit, static_argnames=("cfg", "n_samples"))
+def _render_tile_spp(scene, params, cfg, pixel_idx, sample0, n_samples):
+    """Accumulate n_samples inside ONE program (lax.scan over samples).
+
+    Per-executable invocation overhead through the device transport is
+    ~25-30 ms for the many-leaved scene pytree (measured); fusing the spp
+    loop amortizes it across all samples of a tile."""
+    def body(acc, k):
+        return acc + sample_radiance(scene, params, cfg, pixel_idx,
+                                     sample0 + k), None
+    acc = jnp.zeros((pixel_idx.shape[0], 3), jnp.float32)
+    acc, _ = jax.lax.scan(body, acc,
+                          jnp.arange(n_samples, dtype=jnp.uint32))
+    return acc
+
+
 def render(scene: DeviceScene, params: RenderParams, cfg: RenderConfig,
-           spp: int):
+           spp: int, samples_per_launch: int = 16):
     """Render cfg.width × cfg.height at exactly `spp` samples/pixel.
 
     Returns (H, W, 3) float32 linear radiance (pre-postprocess).
     Pixels are processed in tiles of cfg.tile_size rays to bound the
-    traversal stack footprint."""
+    traversal stack footprint; samples are fused `samples_per_launch` at a
+    time into single programs."""
     n_pix = cfg.width * cfg.height
     tile = min(cfg.tile_size, n_pix)
     acc = jnp.zeros((n_pix, 3), jnp.float32)
     for start in range(0, n_pix, tile):
         idx = jnp.arange(start, min(start + tile, n_pix), dtype=jnp.uint32)
         tile_acc = jnp.zeros((idx.shape[0], 3), jnp.float32)
-        for s in range(spp):
-            tile_acc = tile_acc + _render_tile(scene, params, cfg, idx,
-                                               jnp.uint32(s))
+        s = 0
+        while s < spp:
+            k = min(samples_per_launch, spp - s)
+            tile_acc = tile_acc + _render_tile_spp(scene, params, cfg, idx,
+                                                   jnp.uint32(s), k)
+            s += k
         acc = acc.at[start:start + idx.shape[0]].add(tile_acc)
     img = acc / spp
     return img.reshape(cfg.height, cfg.width, 3)

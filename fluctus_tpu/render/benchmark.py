@@ -39,10 +39,11 @@ def run_benchmark(session, duration_s: float = 30.0, scene_name: str = "",
     tile = min(cfg.tile_size, n_pix)
     primary_c, ext_c, shadow_c = ray_counts_per_sample(cfg, tile)
 
-    # warm up / compile
+    # warm up / compile (fused-spp program)
+    spp_per_iter = max(spp_per_iter, 4)
     idx0 = jnp.arange(tile, dtype=jnp.uint32)
-    lockstep._render_tile(scene, params, cfg, idx0, jnp.uint32(0)
-                          ).block_until_ready()
+    lockstep._render_tile_spp(scene, params, cfg, idx0, jnp.uint32(0),
+                              spp_per_iter).block_until_ready()
 
     rows = []
     samples_done = 0
@@ -53,17 +54,19 @@ def run_benchmark(session, duration_s: float = 30.0, scene_name: str = "",
              for st in range(0, n_pix, tile)]
     while time.perf_counter() - t0 < duration_s:
         for _, idx in tiles:
-            lockstep._render_tile(scene, params, cfg, idx,
-                                  jnp.uint32(s)).block_until_ready()
+            lockstep._render_tile_spp(scene, params, cfg, idx,
+                                      jnp.uint32(s), spp_per_iter
+                                      ).block_until_ready()
             now = time.perf_counter()
             dt = now - t_last
             t_last = now
-            rows.append((scene_name, now - t0, primary_c / dt / 1e6,
-                         ext_c / dt / 1e6, shadow_c / dt / 1e6,
-                         (primary_c + ext_c + shadow_c) / dt / 1e6,
-                         idx.shape[0] / dt / 1e6))
-            samples_done += idx.shape[0]
-        s += 1
+            k = spp_per_iter
+            rows.append((scene_name, now - t0, k * primary_c / dt / 1e6,
+                         k * ext_c / dt / 1e6, k * shadow_c / dt / 1e6,
+                         k * (primary_c + ext_c + shadow_c) / dt / 1e6,
+                         k * idx.shape[0] / dt / 1e6))
+            samples_done += k * idx.shape[0]
+        s += spp_per_iter
 
     wall = time.perf_counter() - t0
     per_pix_samples = samples_done / n_pix
