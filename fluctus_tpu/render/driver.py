@@ -88,6 +88,15 @@ def render(session: RenderSession, spp: int) -> np.ndarray:
     return np.asarray(img)
 
 
+def render_preview(session: RenderSession, spp: int = 1) -> np.ndarray:
+    """Fast preview render: bounce count clamped to 2 like the reference's
+    camera-moved first frame (src/tracer.cpp:228-241 maxBounces=min(2,·))."""
+    cfg = session.cfg.replace(
+        max_bounces=min(2, session.cfg.max_bounces))
+    img = lockstep.render(session.scene, session.params, cfg, spp)
+    return np.asarray(img)
+
+
 def render_ldr(session: RenderSession, spp: int) -> np.ndarray:
     """Render + postprocess to display-referred RGB."""
     img = render(session, spp)
