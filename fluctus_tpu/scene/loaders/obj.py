@@ -61,6 +61,11 @@ class ObjMesh:
     materials: list = field(default_factory=list)  # list[MtlMaterial]
 
 
+def _unixify(path: str) -> str:
+    """Windows MTL paths -> posix (reference: utils.cpp unixifyPath)."""
+    return path.replace("\\", "/")
+
+
 def parse_shader_type(name: str) -> int:
     """reference: src/scene.cpp:171-189 (unknown -> diffuse)."""
     return SHADER_TYPES.get(name, BXDF_DIFFUSE)
@@ -93,11 +98,11 @@ def load_mtl(path: str) -> list[MtlMaterial]:
             elif key == "Ni":
                 cur.ni = float(tok[1])
             elif key == "map_Kd":
-                cur.map_kd = tok[-1]
+                cur.map_kd = _unixify(tok[-1])
             elif key == "map_Ks":
-                cur.map_ks = tok[-1]
+                cur.map_ks = _unixify(tok[-1])
             elif key in ("map_bump", "bump", "map_Bump", "norm"):
-                cur.map_bump = tok[-1]
+                cur.map_bump = _unixify(tok[-1])
             elif key == "shader":
                 cur.bsdf_type = parse_shader_type(tok[1])
     return mats

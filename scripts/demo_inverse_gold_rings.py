@@ -40,6 +40,19 @@ def main():
                        use_area_light=False)
     sess = driver.create_session(args.scene, env_map=args.env_map, cfg=cfg)
     scene, params, cfg = sess.scene, sess.params, sess.cfg
+    # frame the flat ring arrangement from a 3/4 view under a boosted env
+    lo, hi = sess.host_scene.bounds()
+    center = (lo + hi) * 0.5
+    r = float(np.linalg.norm(hi - lo) * 0.5)
+    pos = center + np.array([0.0, 0.9 * r, 1.1 * r])
+    d = center - pos
+    d = d / np.linalg.norm(d)
+    right = np.cross(d, [0.0, 1.0, 0.0]); right /= np.linalg.norm(right)
+    up = np.cross(right, d)
+    cam = params.camera.replace(
+        pos=jnp.asarray(pos, jnp.float32), dir=jnp.asarray(d, jnp.float32),
+        right=jnp.asarray(right, jnp.float32), up=jnp.asarray(up, jnp.float32))
+    params = params.replace(camera=cam, env_strength=jnp.float32(4.0))
     pix = jnp.arange(cfg.width * cfg.height, dtype=jnp.uint32)
 
     kd_true = scene.materials.kd
