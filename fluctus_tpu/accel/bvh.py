@@ -102,9 +102,15 @@ def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
         max_seen_depth = max(max_seen_depth, depth)
 
         n = end - start
-        make_leaf = n <= max_leaf or depth >= max_depth
+        # depth bound is soft: oversized leaves would silently overflow the
+        # fixed-width leaf tests, so keep median-splitting past max_depth
+        make_leaf = n <= max_leaf
         if not make_leaf:
-            axis, order, split, _ = _sweep_sah_split(ids, lo, hi, centroid)
+            if depth >= max_depth:
+                axis, order, split = None, None, None  # median fallback
+            else:
+                axis, order, split, _ = _sweep_sah_split(ids, lo, hi,
+                                                         centroid)
             if split is None or split <= 0 or split >= n:
                 split = n // 2  # median fallback (reference: src/bvh.cpp:274-319)
                 order = np.argsort(centroid[ids, np.argmax(nhi - nlo)],

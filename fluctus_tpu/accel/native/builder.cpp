@@ -95,10 +95,37 @@ struct Builder {
     depth_seen = std::max(depth_seen, depth);
     int n = static_cast<int>(refs.size());
 
-    if (n <= max_leaf || depth >= max_depth) {
+    if (n <= max_leaf) {
       node_right[idx] = static_cast<int32_t>(out_prims.size());
       node_count[idx] = n;
       for (const Ref &r : refs) out_prims.push_back(r.prim);
+      return;
+    }
+    if (depth >= max_depth) {
+      // soft depth bound: median split until leaf-sized (oversized leaves
+      // would overflow the fixed-width device leaf tests)
+      std::vector<int> order(n);
+      std::iota(order.begin(), order.end(), 0);
+      int axis = 0;
+      {
+        AABB cb;
+        for (const Ref &r : refs) cb.grow(r.box);
+        float ex = cb.hi.x - cb.lo.x, ey = cb.hi.y - cb.lo.y,
+              ez = cb.hi.z - cb.lo.z;
+        axis = (ex >= ey && ex >= ez) ? 0 : (ey >= ez ? 1 : 2);
+      }
+      std::stable_sort(order.begin(), order.end(), [&](int a, int b) {
+        return get(refs[a].centroid(), axis) < get(refs[b].centroid(), axis);
+      });
+      int split = n / 2;
+      std::vector<Ref> left, right;
+      for (int i = 0; i < split; ++i) left.push_back(refs[order[i]]);
+      for (int i = split; i < n; ++i) right.push_back(refs[order[i]]);
+      refs.clear();
+      refs.shrink_to_fit();
+      build(left, idx, false, depth + 1);
+      { std::vector<Ref>().swap(left); }
+      build(right, idx, true, depth + 1);
       return;
     }
 

@@ -134,13 +134,26 @@ def build_sbvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
         max_seen_depth = max(max_seen_depth, depth)
         n = len(prim)
 
-        if n <= max_leaf or depth >= max_depth:
+        if n <= max_leaf:
             node_right.append(len(out_prims))
             node_count.append(n)
             out_prims.extend(prim.tolist())
             return
 
         centroid = (lo + hi) * 0.5
+        if depth >= max_depth:
+            # soft depth bound: median-split (no spatial) until leaf-sized —
+            # oversized leaves would overflow fixed-width device leaf tests
+            order = np.argsort(centroid[:, int(np.argmax(nhi - nlo))],
+                               kind="stable")
+            split = n // 2
+            node_right.append(-1)
+            node_count.append(0)
+            emit(prim[order[:split]], lo[order[:split]], hi[order[:split]],
+                 idx, False, depth + 1)
+            emit(prim[order[split:]], lo[order[split:]], hi[order[split:]],
+                 idx, True, depth + 1)
+            return
         o_cost, axis, order, split, lbox, rbox = _object_split(lo, hi,
                                                                centroid)
         use_spatial = False

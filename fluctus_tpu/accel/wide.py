@@ -120,7 +120,7 @@ def build_wide(built: BuiltBVH, v0: np.ndarray, v1: np.ndarray,
         for j, c in enumerate(children):
             row[j * 6 + 0: j * 6 + 3] = built.node_lo[c]
             row[j * 6 + 3: j * 6 + 6] = built.node_hi[c]
-            if expandable(c) or (counts[c] == 0 and tri_count[c] > leaf_width):
+            if expandable(c):
                 refs[j] = build_node(c)
             else:
                 refs[j] = make_leaf(c)

@@ -126,9 +126,11 @@ def _nee_single_light(scene, params, cfg, ctx, sh_orig, wi, types, pix, samp,
         pick_prob = jnp.where(pick_area, 1.0 - env_prob, pick_prob)
         valid = valid | (pick_area & (cos_light > 0.0))
 
+    # reference wf_shadowrays.cl checks the light quad on EVERY shadow ray
+    # (area-pick rays are shortened by 0.995 so they miss their own emitter)
     blocked = common._shadow_blocked(scene, params, cfg, sh_orig, ldir,
                                      jnp.maximum(llen, 1e-6),
-                                     check_area_quad=False)
+                                     check_area_quad=True)
 
     f = bsdf_mod.bsdf_eval(ctx, wi, ldir, types)
     cos_th = jnp.maximum(0.0, vm.dot(ldir, ctx.n))

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from fluctus_tpu.core.types import FlatBVH
 from fluctus_tpu.ops.intersect import ray_aabb, ray_triangle
 
-STACK_DEPTH = 64   # matches builder MaxDepth (reference: src/bvh.hpp:64-68)
+STACK_DEPTH = 96   # > builder MaxDepth 64 (soft bound: median splits may go deeper)
 MAX_LEAF = 8       # builder leaf cap (reference: src/sbvh.hpp:38)
 
 

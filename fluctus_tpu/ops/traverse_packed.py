@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from fluctus_tpu.core.types import PackedBVH
 
-STACK_DEPTH = 64
+STACK_DEPTH = 96  # soft depth bound: see accel/bvh.py
 TRI_EPS = jnp.float32(1e-12)
 
 

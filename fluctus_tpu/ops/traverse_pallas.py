@@ -48,7 +48,8 @@ class Traversal(NamedTuple):
 
 def _kernel(orig_ref, dir_ref, tmax_ref, nodes_ref, nrefs_ref, leaves_ref,
             lids_ref, out_t, out_prim, out_u, out_v,
-            stack_ref, root_ref: int, leaf_width: int, any_hit: bool):
+            stack_ref, root_ref: int, leaf_width: int, any_hit: bool,
+            blk: int = BLK):
     ox = orig_ref[0, :]
     oy = orig_ref[1, :]
     oz = orig_ref[2, :]
@@ -68,10 +69,10 @@ def _kernel(orig_ref, dir_ref, tmax_ref, nodes_ref, nrefs_ref, leaves_ref,
 
     init = (jnp.int32(1),                 # sp
             tmax_ref[0, :],               # best_t
-            jnp.full((BLK,), -1, jnp.int32),
-            jnp.zeros((BLK,), jnp.float32),
-            jnp.zeros((BLK,), jnp.float32),
-            jnp.zeros((BLK,), jnp.int32))  # blocked 0/1 (any-hit mode; bool vectors fail Mosaic scf.yield legalization)
+            jnp.full((blk,), -1, jnp.int32),
+            jnp.zeros((blk,), jnp.float32),
+            jnp.zeros((blk,), jnp.float32),
+            jnp.zeros((blk,), jnp.int32))  # blocked 0/1 (any-hit mode; bool vectors fail Mosaic scf.yield legalization)
 
     def cond(s):
         sp, _, _, _, _, blocked = s
@@ -206,28 +207,30 @@ def _kernel(orig_ref, dir_ref, tmax_ref, nodes_ref, nrefs_ref, leaves_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("root_ref", "leaf_width", "any_hit"))
+                   static_argnames=("root_ref", "leaf_width", "any_hit",
+                                    "blk"))
 def _launch(orig_t, dir_t, tmax_row, nodes, nrefs, leaves2d, lids,
-            root_ref: int, leaf_width: int, any_hit: bool):
+            root_ref: int, leaf_width: int, any_hit: bool, blk: int = BLK):
     b = orig_t.shape[1]
-    grid = (b // BLK,)
+    grid = (b // blk,)
     kernel = functools.partial(_kernel, root_ref=root_ref,
-                               leaf_width=leaf_width, any_hit=any_hit)
+                               leaf_width=leaf_width, any_hit=any_hit,
+                               blk=blk)
     out_shapes = (
         jax.ShapeDtypeStruct((1, b), jnp.float32),
         jax.ShapeDtypeStruct((1, b), jnp.int32),
         jax.ShapeDtypeStruct((1, b), jnp.float32),
         jax.ShapeDtypeStruct((1, b), jnp.float32),
     )
-    blk = lambda i: (0, i)
+    blk_map = lambda i: (0, i)
     return pl.pallas_call(
         kernel,
         grid=grid,
         out_shape=out_shapes,
         in_specs=[
-            pl.BlockSpec((3, BLK), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, BLK), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BLK), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk), blk_map, memory_space=pltpu.VMEM),
             pl.BlockSpec(nodes.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(nrefs.shape, lambda i: (0, 0),
@@ -238,7 +241,7 @@ def _launch(orig_t, dir_t, tmax_row, nodes, nrefs, leaves2d, lids,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=tuple(
-            pl.BlockSpec((1, BLK), blk, memory_space=pltpu.VMEM)
+            pl.BlockSpec((1, blk), blk_map, memory_space=pltpu.VMEM)
             for _ in range(4)),
         scratch_shapes=[pltpu.SMEM((STACK,), jnp.int32)],
     )(orig_t, dir_t, tmax_row, nodes, nrefs, leaves2d, lids)
@@ -255,34 +258,36 @@ def split_tables(bvh: WideBVH):
     return nodes, nrefs, leaves2d, lids
 
 
-def _prep(bvh: WideBVH, orig, dir, t_max):
+def _prep(bvh: WideBVH, orig, dir, t_max, blk: int = BLK):
     b = orig.shape[0]
-    pad = (-b) % BLK
+    pad = (-b) % blk
+    t_vec = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (b,))
     if pad:
         orig = jnp.concatenate([orig, jnp.zeros((pad, 3), orig.dtype)])
         dir = jnp.concatenate(
             [dir, jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], dir.dtype),
                                    (pad, 3))])
-    t_row = (jnp.asarray(t_max, jnp.float32)
-             * jnp.ones((b + pad,), jnp.float32))[None, :]
-    return orig.T, dir.T, t_row, b
+        t_vec = jnp.concatenate([t_vec, jnp.zeros((pad,), jnp.float32)])
+    return orig.T, dir.T, t_vec[None, :], b
 
 
-def traverse_closest(bvh: WideBVH, orig, dir, t_max) -> Traversal:
-    orig_t, dir_t, t_row, b = _prep(bvh, orig, dir, t_max)
+def traverse_closest(bvh: WideBVH, orig, dir, t_max,
+                     blk: int = BLK) -> Traversal:
+    orig_t, dir_t, t_row, b = _prep(bvh, orig, dir, t_max, blk)
     nodes, nrefs, leaves2d, lids = split_tables(bvh)
     t, prim, u, v = _launch(orig_t, dir_t, t_row, nodes, nrefs, leaves2d,
                             lids, int(bvh.root_ref), int(bvh.leaf_width),
-                            False)
+                            False, blk)
     return Traversal(t[0, :b], prim[0, :b], u[0, :b], v[0, :b])
 
 
-def traverse_any(bvh: WideBVH, orig, dir, t_max) -> jnp.ndarray:
-    orig_t, dir_t, t_row, b = _prep(bvh, orig, dir, t_max)
+def traverse_any(bvh: WideBVH, orig, dir, t_max,
+                 blk: int = BLK) -> jnp.ndarray:
+    orig_t, dir_t, t_row, b = _prep(bvh, orig, dir, t_max, blk)
     nodes, nrefs, leaves2d, lids = split_tables(bvh)
     _, prim, _, _ = _launch(orig_t, dir_t, t_row, nodes, nrefs, leaves2d,
                             lids, int(bvh.root_ref), int(bvh.leaf_width),
-                            True)
+                            True, blk)
     return prim[0, :b] > 0
 
 

@@ -60,11 +60,12 @@ def run_benchmark(session, duration_s: float = 30.0, scene_name: str = "",
             now = time.perf_counter()
             dt = now - t_last
             t_last = now
-            k = spp_per_iter
+            frac = idx.shape[0] / tile  # final tile may be smaller
+            k = spp_per_iter * frac
             rows.append((scene_name, now - t0, k * primary_c / dt / 1e6,
                          k * ext_c / dt / 1e6, k * shadow_c / dt / 1e6,
                          k * (primary_c + ext_c + shadow_c) / dt / 1e6,
-                         k * idx.shape[0] / dt / 1e6))
+                         spp_per_iter * idx.shape[0] / dt / 1e6))
             samples_done += k * idx.shape[0]
         s += spp_per_iter
 

@@ -86,8 +86,15 @@ def run_optimization(session, target_path: str, steps: int = 100,
             mngr.save(i, args=ocp.args.StandardSave(
                 {"diff": diff, "opt_state": opt_state}))
     mngr.wait_until_finished()
-    np.save(os.path.join(out_dir, "loss_history.npy"), np.asarray(history))
+    hist_path = os.path.join(out_dir, "loss_history.npy")
+    if start_step > 0 and os.path.exists(hist_path):
+        prev = np.load(hist_path).tolist()
+        history = prev[:start_step] + history
+    np.save(hist_path, np.asarray(history))
     for k, v in diff.items():
         np.save(os.path.join(out_dir, f"opt_{k}.npy"), np.asarray(v))
-    print(f"final loss {history[-1]:.6f}; results in {out_dir}")
+    if history:
+        print(f"final loss {history[-1]:.6f}; results in {out_dir}")
+    else:
+        print(f"nothing to do (resumed at step {start_step} >= steps)")
     return diff, history

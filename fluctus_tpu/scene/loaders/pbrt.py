@@ -292,11 +292,13 @@ def load_pbrt(path: str):
                     v0s, v1s, v2s, n0s, n1s, n2s = sub[:6]
                     homo = lambda a: (ctm @ np.concatenate(
                         [a, np.ones((len(a), 1))], 1).T).T[:, :3]
+                    it = np.linalg.inv(ctm[:3, :3]).T
+                    xn = lambda a: (it @ np.asarray(a, np.float64).T).T
                     for i in range(len(v0s)):
                         tris_v.append(np.stack([homo(v0s[i:i+1])[0],
                                                 homo(v1s[i:i+1])[0],
                                                 homo(v2s[i:i+1])[0]]))
-                        tris_n.append(np.stack([n0s[i], n1s[i], n2s[i]]))
+                        tris_n.append(xn(np.stack([n0s[i], n1s[i], n2s[i]])))
                         tris_uv.append(np.zeros((3, 2)))
                         tris_mat.append(cur_mat + 1)
                 else:

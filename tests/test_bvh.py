@@ -91,3 +91,23 @@ def test_single_triangle_and_miss(rng):
         jnp.asarray(orig), jnp.asarray(dir), np.float32(1e30))
     assert np.asarray(res.prim).tolist() == [0, -1]
     np.testing.assert_allclose(float(res.t[0]), 1.0, rtol=1e-6)
+
+
+def test_depth_bound_never_oversizes_leaves():
+    """Pathological coincident geometry: the depth bound is soft — leaves
+    must never exceed MAX_LEAF (oversized leaves would silently overflow
+    the fixed-width device leaf tests)."""
+    # 4096 identical triangles: SAH cannot separate them; builder must
+    # median-split past max_depth instead of emitting one giant leaf
+    v0 = np.zeros((4096, 3), np.float32)
+    v1 = np.tile(np.array([[1, 0, 0]], np.float32), (4096, 1))
+    v2 = np.tile(np.array([[0, 1, 0]], np.float32), (4096, 1))
+    built = bvh_mod.build_bvh(v0, v1, v2, max_depth=8)
+    assert built.node_count.max() <= bvh_mod.MAX_LEAF
+    from fluctus_tpu.accel.sbvh import build_sbvh
+    sb = build_sbvh(v0, v1, v2, max_depth=8)
+    assert sb.node_count.max() <= bvh_mod.MAX_LEAF
+    from fluctus_tpu.accel import native
+    if native.available():
+        nb = native.build_native(v0, v1, v2, 8, 8, 1e-5, True)
+        assert nb.node_count.max() <= 8

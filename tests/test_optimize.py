@@ -27,7 +27,8 @@ def test_optimize_driver_with_checkpoint(tmp_path):
     diff, hist = run_optimization(sess, tpath, steps=20, lr=0.05, spp=1,
                                   out_dir=out, checkpoint_every=10)
     assert hist[-1] < hist[0]
-    # resume continues from step 20's checkpoint rather than restarting
+    # resume continues from step 20's checkpoint rather than restarting;
+    # returned history = merged (prior 20 + new 5)
     diff2, hist2 = run_optimization(sess, tpath, steps=25, lr=0.05, spp=1,
                                     out_dir=out, checkpoint_every=10)
-    assert len(hist2) == 5  # steps 20..24 only
+    assert len(hist2) == 25
