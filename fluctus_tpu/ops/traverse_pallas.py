@@ -18,6 +18,17 @@ Ray coherence sets the block's visited-node union; the renderer sorts rays
 by pixel (primary/shadow rays are coherent by construction). The reference's
 per-thread stack traversal (src/bvh.cl:234-310) maps to the GPU's per-lane
 divergence model; this packet form is its TPU-native equivalent.
+
+Two table placements:
+  * hbm=False (default for scenes fitting VMEM): tables whole in VMEM,
+    row reads are dynamic slices.
+  * hbm=True: tables stay in HBM/ANY and each visit DMAs the shared row
+    into VMEM scratch — unbounded scene size at ~1-2 µs/visit extra.
+    CAVEAT: this container's remote-compile toolchain crashes on ANY kernel
+    containing a DMA (even a trivial one — reproduced in isolation), so the
+    hbm variant is validated in interpret mode only; on real hardware with
+    a standard toolchain it should compile as-is. Scenes beyond VMEM
+    currently route to the XLA wide backend (driver auto-selection).
 """
 from __future__ import annotations
 
@@ -48,8 +59,9 @@ class Traversal(NamedTuple):
 
 def _kernel(orig_ref, dir_ref, tmax_ref, nodes_ref, nrefs_ref, leaves_ref,
             lids_ref, out_t, out_prim, out_u, out_v,
-            stack_ref, root_ref: int, leaf_width: int, any_hit: bool,
-            blk: int = BLK):
+            stack_ref, node_scr, refs_scr, leaf_scr, lid_scr, sems,
+            root_ref: int, leaf_width: int, any_hit: bool,
+            blk: int = BLK, hbm: bool = False):
     ox = orig_ref[0, :]
     oy = orig_ref[1, :]
     oz = orig_ref[2, :]
@@ -87,13 +99,39 @@ def _kernel(orig_ref, dir_ref, tmax_ref, nodes_ref, nrefs_ref, leaves_ref,
         sp = sp - 1
         is_inner = enc >= 0
 
+        if hbm:
+            # DMA the (possibly unused) node AND leaf rows up front —
+            # conditional DMAs inside lax.cond crash the Mosaic pipeline
+            ni_ = jnp.maximum(enc, 0)
+            li_ = jnp.maximum(~enc, 0)
+            dmas = (
+                pltpu.make_async_copy(nodes_ref.at[pl.ds(ni_, 1), :],
+                                      node_scr, sems.at[0]),
+                pltpu.make_async_copy(nrefs_ref.at[pl.ds(ni_, 1), :],
+                                      refs_scr, sems.at[1]),
+                pltpu.make_async_copy(leaves_ref.at[pl.ds(li_, 1), :],
+                                      leaf_scr, sems.at[2]),
+                pltpu.make_async_copy(lids_ref.at[pl.ds(li_, 1), :],
+                                      lid_scr, sems.at[3]),
+            )
+            for d in dmas:
+                d.start()
+            for d in dmas:
+                d.wait()
+
         # ---------------- inner node: test 8 children, push hit ones
         def inner(sp):
             node = enc
             # one dynamic ROW load per node; elements extracted statically
-            # (Mosaic supports dynamic-major row loads, not element loads)
-            nrow = nodes_ref[pl.ds(node, 1), :]      # (1, 48)
-            rrow = nrefs_ref[pl.ds(node, 1), :]      # (1, 8)
+            # (Mosaic supports dynamic-major row loads, not element loads).
+            # hbm variant: tables stay in HBM, the packet DMAs one shared
+            # row per visit into VMEM scratch (scene size unbounded).
+            if hbm:
+                nrow = node_scr[:, :]                # (1, 48)
+                rrow = refs_scr[:, :]                # (1, 8)
+            else:
+                nrow = nodes_ref[pl.ds(node, 1), :]  # (1, 48)
+                rrow = nrefs_ref[pl.ds(node, 1), :]  # (1, 8)
             keys = []
             hits = []
             refs = []
@@ -152,8 +190,12 @@ def _kernel(orig_ref, dir_ref, tmax_ref, nodes_ref, nrefs_ref, leaves_ref,
         # ---------------- leaf: dense Möller over leaf_width triangle slots
         def leaf(sp):
             li = jnp.maximum(~enc, 0)  # guarded: cond may predicate-execute
-            lrow = leaves_ref[pl.ds(li, 1), :]       # (1, W*9)
-            irow = lids_ref[pl.ds(li, 1), :]         # (1, W)
+            if hbm:
+                lrow = leaf_scr[:, :]                # (1, W*9)
+                irow = lid_scr[:, :]                 # (1, W)
+            else:
+                lrow = leaves_ref[pl.ds(li, 1), :]   # (1, W*9)
+                irow = lids_ref[pl.ds(li, 1), :]     # (1, W)
             bt, bp, bu, bv, blk = best_t, best_prim, best_u, best_v, blocked
             for slot in range(leaf_width):
                 c = slot * 9
@@ -208,14 +250,16 @@ def _kernel(orig_ref, dir_ref, tmax_ref, nodes_ref, nrefs_ref, leaves_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("root_ref", "leaf_width", "any_hit",
-                                    "blk"))
+                                    "blk", "hbm"))
 def _launch(orig_t, dir_t, tmax_row, nodes, nrefs, leaves2d, lids,
-            root_ref: int, leaf_width: int, any_hit: bool, blk: int = BLK):
+            root_ref: int, leaf_width: int, any_hit: bool, blk: int = BLK,
+            hbm: bool = False):
     b = orig_t.shape[1]
     grid = (b // blk,)
     kernel = functools.partial(_kernel, root_ref=root_ref,
                                leaf_width=leaf_width, any_hit=any_hit,
-                               blk=blk)
+                               blk=blk, hbm=hbm)
+    table_space = pltpu.ANY if hbm else pltpu.VMEM
     out_shapes = (
         jax.ShapeDtypeStruct((1, b), jnp.float32),
         jax.ShapeDtypeStruct((1, b), jnp.int32),
@@ -231,19 +275,22 @@ def _launch(orig_t, dir_t, tmax_row, nodes, nrefs, leaves2d, lids,
             pl.BlockSpec((3, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, blk), blk_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec(nodes.shape, lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(nrefs.shape, lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(leaves2d.shape, lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(lids.shape, lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=table_space),
+            pl.BlockSpec(memory_space=table_space),
+            pl.BlockSpec(memory_space=table_space),
+            pl.BlockSpec(memory_space=table_space),
         ],
         out_specs=tuple(
             pl.BlockSpec((1, blk), blk_map, memory_space=pltpu.VMEM)
             for _ in range(4)),
-        scratch_shapes=[pltpu.SMEM((STACK,), jnp.int32)],
+        scratch_shapes=[
+            pltpu.SMEM((STACK,), jnp.int32),
+            pltpu.VMEM((1, 48), jnp.float32),
+            pltpu.VMEM((1, 8), jnp.int32),
+            pltpu.VMEM((1, leaves2d.shape[1]), jnp.float32),
+            pltpu.VMEM((1, lids.shape[1]), jnp.int32),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
     )(orig_t, dir_t, tmax_row, nodes, nrefs, leaves2d, lids)
 
 
@@ -271,23 +318,25 @@ def _prep(bvh: WideBVH, orig, dir, t_max, blk: int = BLK):
     return orig.T, dir.T, t_vec[None, :], b
 
 
-def traverse_closest(bvh: WideBVH, orig, dir, t_max,
-                     blk: int = BLK) -> Traversal:
+def traverse_closest(bvh: WideBVH, orig, dir, t_max, blk: int = BLK,
+                     hbm: bool | None = None) -> Traversal:
     orig_t, dir_t, t_row, b = _prep(bvh, orig, dir, t_max, blk)
     nodes, nrefs, leaves2d, lids = split_tables(bvh)
+    hbm = (not fits_vmem(bvh)) if hbm is None else hbm
     t, prim, u, v = _launch(orig_t, dir_t, t_row, nodes, nrefs, leaves2d,
                             lids, int(bvh.root_ref), int(bvh.leaf_width),
-                            False, blk)
+                            False, blk, hbm)
     return Traversal(t[0, :b], prim[0, :b], u[0, :b], v[0, :b])
 
 
-def traverse_any(bvh: WideBVH, orig, dir, t_max,
-                 blk: int = BLK) -> jnp.ndarray:
+def traverse_any(bvh: WideBVH, orig, dir, t_max, blk: int = BLK,
+                 hbm: bool | None = None) -> jnp.ndarray:
     orig_t, dir_t, t_row, b = _prep(bvh, orig, dir, t_max, blk)
     nodes, nrefs, leaves2d, lids = split_tables(bvh)
+    hbm = (not fits_vmem(bvh)) if hbm is None else hbm
     _, prim, _, _ = _launch(orig_t, dir_t, t_row, nodes, nrefs, leaves2d,
                             lids, int(bvh.root_ref), int(bvh.leaf_width),
-                            True, blk)
+                            True, blk, hbm)
     return prim[0, :b] > 0
 
 

@@ -122,3 +122,50 @@ def test_wide_tiny_scene_leaf_root(rng):
                                          jnp.asarray(dir), np.float32(1e30))
     t_ref, prim_ref, _, _ = cpu_ref.intersect_closest(v0, v1, v2, orig, dir)
     np.testing.assert_array_equal(np.asarray(res.prim) >= 0, prim_ref >= 0)
+
+
+def test_pallas_hbm_variant_interpret(rng):
+    """HBM-DMA packet variant (tables in ANY memory, per-visit row DMA):
+    correctness vs oracle in interpret mode (the container's remote-compile
+    toolchain cannot compile DMA kernels; see traverse_pallas.py docstring)."""
+    import jax.experimental.pallas as pl
+    import fluctus_tpu.ops.traverse_pallas as tp
+    from fluctus_tpu.accel.wide import build_wide
+    from fluctus_tpu.core.types import WideBVH
+
+    orig_call = pl.pallas_call
+    tp.pl.pallas_call = lambda *a, **k: orig_call(*a, **{**k,
+                                                         'interpret': True})
+    try:
+        v0, v1, v2 = random_tris(rng, m=300)
+        orig, dir = random_rays(rng, b=512)
+        built = bvh_mod.build_bvh(v0, v1, v2)
+        w = build_wide(built, v0, v1, v2)
+        wbvh = WideBVH(nodes=jnp.asarray(w.nodes),
+                       leaves=jnp.asarray(w.leaves),
+                       root_ref=int(w.root_ref), depth=int(w.depth),
+                       leaf_width=int(w.leaves.shape[1]))
+        res = tp.traverse_closest(wbvh, jnp.asarray(orig), jnp.asarray(dir),
+                                  np.float32(1e30), hbm=True)
+        t_ref, prim_ref, _, _ = cpu_ref.intersect_closest(v0, v1, v2, orig,
+                                                          dir)
+        np.testing.assert_array_equal(np.asarray(res.prim) >= 0,
+                                      prim_ref >= 0)
+    finally:
+        tp.pl.pallas_call = orig_call
+
+
+def test_camera_basis_from_rotation():
+    """Yaw/pitch camera basis (reference: src/tracer.cpp:803-818)."""
+    from fluctus_tpu.ops.camera import camera_basis_from_rotation
+    r, u, d = camera_basis_from_rotation(0.0, 0.0)
+    np.testing.assert_allclose(np.asarray(d), [0, 0, -1], atol=1e-6)
+    # positive yaw swings the view toward +x, positive pitch toward -y
+    # (rows-of-R convention, reference: src/tracer.cpp:803-818)
+    r, u, d = camera_basis_from_rotation(90.0, 0.0)
+    np.testing.assert_allclose(np.asarray(d), [1, 0, 0], atol=1e-6)
+    r, u, d = camera_basis_from_rotation(0.0, 90.0)
+    np.testing.assert_allclose(np.asarray(d), [0, -1, 0], atol=1e-6)
+    # orthonormal
+    for a, b in ((r, u), (u, d), (r, d)):
+        assert abs(float(jnp.dot(a, b))) < 1e-6
