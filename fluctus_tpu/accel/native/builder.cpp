@@ -14,8 +14,10 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <future>
 #include <limits>
 #include <numeric>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -129,36 +131,67 @@ struct Builder {
       return;
     }
 
-    // ---- full-sweep object SAH over 3 axes
+    // ---- full-sweep object SAH over 3 axes (axes evaluated in parallel
+    // for large nodes — the sweep dominates build time)
     double best_cost = std::numeric_limits<double>::infinity();
     int best_axis = -1, best_split = -1;
     AABB best_lbox, best_rbox;
-    std::vector<int> order(n), best_order;
-    std::vector<double> right_sa(n);
-    std::vector<AABB> suffix(n);
-    for (int axis = 0; axis < 3; ++axis) {
-      std::iota(order.begin(), order.end(), 0);
-      std::stable_sort(order.begin(), order.end(), [&](int a, int b) {
+    std::vector<int> best_order;
+
+    struct AxisResult {
+      double cost = std::numeric_limits<double>::infinity();
+      int split = -1;
+      AABB lbox, rbox;
+      std::vector<int> order;
+    };
+    auto sweep_axis = [&](int axis) {
+      AxisResult res;
+      res.order.resize(n);
+      std::iota(res.order.begin(), res.order.end(), 0);
+      std::stable_sort(res.order.begin(), res.order.end(),
+                       [&](int a, int b) {
         return get(refs[a].centroid(), axis) < get(refs[b].centroid(), axis);
       });
+      std::vector<double> right_sa(n);
+      std::vector<AABB> suffix(n);
       AABB acc;
       for (int i = n - 1; i >= 0; --i) {
-        acc.grow(refs[order[i]].box);
+        acc.grow(refs[res.order[i]].box);
         suffix[i] = acc;
         right_sa[i] = acc.area();
       }
       AABB left;
       for (int i = 0; i < n - 1; ++i) {
-        left.grow(refs[order[i]].box);
+        left.grow(refs[res.order[i]].box);
         double cost = left.area() * (i + 1) + right_sa[i + 1] * (n - 1 - i);
-        if (cost < best_cost) {
-          best_cost = cost;
-          best_axis = axis;
-          best_split = i + 1;
-          best_lbox = left;
-          best_rbox = suffix[i + 1];
-          best_order = order;
+        if (cost < res.cost) {
+          res.cost = cost;
+          res.split = i + 1;
+          res.lbox = left;
+          res.rbox = suffix[i + 1];
         }
+      }
+      return res;
+    };
+
+    AxisResult ax[3];
+    if (n > 16384) {
+      auto f1 = std::async(std::launch::async, sweep_axis, 1);
+      auto f2 = std::async(std::launch::async, sweep_axis, 2);
+      ax[0] = sweep_axis(0);
+      ax[1] = f1.get();
+      ax[2] = f2.get();
+    } else {
+      for (int axis = 0; axis < 3; ++axis) ax[axis] = sweep_axis(axis);
+    }
+    for (int axis = 0; axis < 3; ++axis) {
+      if (ax[axis].cost < best_cost) {
+        best_cost = ax[axis].cost;
+        best_axis = axis;
+        best_split = ax[axis].split;
+        best_lbox = ax[axis].lbox;
+        best_rbox = ax[axis].rbox;
+        best_order = std::move(ax[axis].order);
       }
     }
 
