@@ -159,3 +159,51 @@ def _measure_depth(nodes: np.ndarray, root_ref: int) -> int:
             if np.isfinite(lo_x[j]) and refs[j] >= 0:
                 stack.append((int(refs[j]), d + 1))
     return depth
+
+
+def estimate_table_bytes(n_tris: int, leaf_width: int = LEAF_WIDTH) -> int:
+    """Device-table footprint estimate for a wide BVH over n_tris triangles.
+    Collapsed leaves average ~50% occupancy, hence the 2x slop factor
+    (measured on sphere-grid scenes)."""
+    leaves = max(1, (n_tris + leaf_width - 1) // leaf_width) * 2
+    nodes = max(1, leaves // 4)
+    return leaves * leaf_width * 10 * 4 + nodes * 56 * 4
+
+
+def build_wide_forest(v0, v1, v2, build_binary, leaf_width: int = LEAF_WIDTH,
+                      budget_bytes: int = 4 << 20):
+    """Partition the triangle set into spatial chunks whose wide tables each
+    fit the VMEM budget, and build an independent wide BVH per chunk.
+
+    This is the beyond-VMEM packet-traversal strategy usable on toolchains
+    without DMA-kernel support (see ops/traverse_pallas.py): the renderer
+    traces each treelet with the VMEM packet kernel, threading best-t
+    between chunks. Returns (list[WideBVHHost], list[np.ndarray prim_maps])
+    where prim_maps[i] maps chunk-local triangle ids back to global ids.
+    """
+    m = len(v0)
+    centroid = ((np.minimum(np.minimum(v0, v1), v2)
+                 + np.maximum(np.maximum(v0, v1), v2)) * 0.5)
+
+    chunks: list[np.ndarray] = []
+
+    def split(ids: np.ndarray):
+        if estimate_table_bytes(len(ids), leaf_width) <= budget_bytes:
+            chunks.append(ids)
+            return
+        c = centroid[ids]
+        axis = int(np.argmax(c.max(0) - c.min(0)))
+        order = np.argsort(c[:, axis], kind="stable")
+        half = len(ids) // 2
+        split(ids[order[:half]])
+        split(ids[order[half:]])
+
+    split(np.arange(m, dtype=np.int64))
+
+    forests, maps = [], []
+    for ids in chunks:
+        built = build_binary(v0[ids], v1[ids], v2[ids])
+        forests.append(build_wide(built, v0[ids], v1[ids], v2[ids],
+                                  leaf_width=leaf_width))
+        maps.append(ids.astype(np.int32))
+    return forests, maps

@@ -163,9 +163,14 @@ class DeviceScene:
     bvh: FlatBVH
     pbvh: PackedBVH
     wbvh: WideBVH
-    materials: Materials
-    atlas: TextureAtlas
-    envmap: EnvMap
+    # Beyond-VMEM scenes: tuple of VMEM-sized treelets (chunks padded to
+    # uniform shapes so one packet program serves all) + per-chunk maps from
+    # chunk-local to global triangle ids. Empty when wbvh fits VMEM.
+    wforest: tuple = ()
+    wforest_maps: tuple = ()
+    materials: Materials = None
+    atlas: TextureAtlas = None
+    envmap: EnvMap = None
 
 
 @struct.dataclass

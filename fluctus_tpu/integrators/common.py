@@ -40,10 +40,13 @@ def _wbvh_bounds(wbvh):
 
 def _pallas_closest(scene, orig, dir, t_max):
     lo, hi = _wbvh_bounds(scene.wbvh)
-    return ray_sort.sorted_apply(
-        orig, dir, lo, hi,
-        lambda o, d: traverse_pallas.traverse_closest(scene.wbvh, o, d,
-                                                      t_max))
+    if scene.wforest:
+        fn = lambda o, d: traverse_pallas.traverse_closest_forest(
+            scene.wforest, scene.wforest_maps, o, d, t_max)
+    else:
+        fn = lambda o, d: traverse_pallas.traverse_closest(scene.wbvh, o, d,
+                                                           t_max)
+    return ray_sort.sorted_apply(orig, dir, lo, hi, fn)
 
 
 def _pallas_any(scene, orig, dir, lens):
@@ -51,8 +54,12 @@ def _pallas_any(scene, orig, dir, lens):
     keys = ray_sort.ray_sort_keys(orig, dir, lo, hi)
     order = jnp.argsort(keys)
     inv = jnp.argsort(order)
-    blocked = traverse_pallas.traverse_any(scene.wbvh, orig[order],
-                                           dir[order], lens[order])
+    if scene.wforest:
+        blocked = traverse_pallas.traverse_any_forest(
+            scene.wforest, orig[order], dir[order], lens[order])
+    else:
+        blocked = traverse_pallas.traverse_any(scene.wbvh, orig[order],
+                                               dir[order], lens[order])
     return blocked[inv]
 
 

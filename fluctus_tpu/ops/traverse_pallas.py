@@ -342,3 +342,36 @@ def traverse_any(bvh: WideBVH, orig, dir, t_max, blk: int = BLK,
 
 def fits_vmem(bvh: WideBVH, budget_bytes: int = 8 << 20) -> bool:
     return (bvh.nodes.size + bvh.leaves.size) * 4 <= budget_bytes
+
+
+def traverse_closest_forest(chunks, prim_maps, orig, dir, t_max,
+                            blk: int = BLK) -> Traversal:
+    """Closest hit over a forest of VMEM-sized treelets: each chunk is
+    traced with the VMEM packet kernel, threading the running best-t as the
+    next chunk's t_max so chunk order prunes like near-first traversal.
+    prim_maps[i] maps chunk-local triangle ids to global ids."""
+    b = orig.shape[0]
+    best = Traversal(
+        t=jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (b,)),
+        prim=jnp.full((b,), -1, jnp.int32),
+        u=jnp.zeros((b,), jnp.float32),
+        v=jnp.zeros((b,), jnp.float32))
+    for wb, pmap in zip(chunks, prim_maps):
+        r = traverse_closest(wb, orig, dir, best.t, blk=blk, hbm=False)
+        got = r.prim >= 0
+        gprim = pmap[jnp.maximum(r.prim, 0)]
+        best = Traversal(
+            t=jnp.where(got, r.t, best.t),
+            prim=jnp.where(got, gprim, best.prim),
+            u=jnp.where(got, r.u, best.u),
+            v=jnp.where(got, r.v, best.v))
+    return best
+
+
+def traverse_any_forest(chunks, orig, dir, t_max,
+                        blk: int = BLK) -> jnp.ndarray:
+    blocked = jnp.zeros((orig.shape[0],), bool)
+    for wb in chunks:
+        blocked = blocked | traverse_any(wb, orig, dir, t_max, blk=blk,
+                                         hbm=False)
+    return blocked

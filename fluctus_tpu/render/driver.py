@@ -62,10 +62,11 @@ def create_session(scene_path: str, env_map: str | None = None,
         cfg = RenderConfig()
     backend = cfg.backend
     if backend == "auto":
-        from fluctus_tpu.ops.traverse_pallas import fits_vmem
         import jax
         on_tpu = jax.default_backend() not in ("cpu",)
-        backend = "pallas" if (on_tpu and fits_vmem(device.wbvh)) else "wide"
+        # the packet kernel covers all scene sizes (single VMEM table or
+        # padded treelet forest); XLA wide remains the CPU/debug path
+        backend = "pallas" if on_tpu else "wide"
     cfg = cfg.replace(
         backend=backend,
         bsdf_types_mask=host.material_types_mask,

@@ -192,6 +192,43 @@ class HostScene:
             leaves=jnp.asarray(wide.leaves),
             root_ref=int(wide.root_ref), depth=int(wide.depth),
             leaf_width=int(wide.leaves.shape[1]))
+
+        # Beyond-VMEM scenes: also build the treelet forest for the packet
+        # kernel (chunks padded to uniform shapes -> one compiled program)
+        wforest, wforest_maps = (), ()
+        table_bytes = (wide.nodes.size + wide.leaves.size) * 4
+        if table_bytes > (8 << 20):
+            from fluctus_tpu.accel.wide import build_wide_forest
+
+            def build_binary(a, b, c):
+                if os.environ.get("FLUCTUS_NATIVE", "1") != "0":
+                    from fluctus_tpu.accel import native
+                    r = native.build_native(a, b, c, bvh_mod.MAX_LEAF,
+                                            bvh_mod.MAX_DEPTH, 1e-5, True)
+                    if r is not None:
+                        return r
+                return bvh_mod.build_bvh(a, b, c)
+
+            hosts, maps = build_wide_forest(self.v0, self.v1, self.v2,
+                                            build_binary)
+            n_max = max(h.nodes.shape[0] for h in hosts)
+            l_max = max(h.leaves.shape[0] for h in hosts)
+            chunks = []
+            for h in hosts:
+                nodes = np.zeros((n_max, 56), np.float32)
+                nodes[:, 0:48:6] = np.inf  # pad rows: children never hit
+                nodes[:h.nodes.shape[0]] = h.nodes
+                leaves = np.zeros((l_max,) + h.leaves.shape[1:], np.float32)
+                leaves[..., 9] = np.float32(
+                    np.frombuffer(np.int32(-1).tobytes(), np.float32)[0])
+                leaves[:h.leaves.shape[0]] = h.leaves
+                assert h.root_ref == 0, "forest chunk root must be inner"
+                chunks.append(WideBVH(
+                    nodes=jnp.asarray(nodes), leaves=jnp.asarray(leaves),
+                    root_ref=0, depth=int(h.depth),
+                    leaf_width=int(h.leaves.shape[1])))
+            wforest = tuple(chunks)
+            wforest_maps = tuple(jnp.asarray(m) for m in maps)
         kd, ks, ke, ns, ni, map_kd, map_ks, map_n, bsdf_id = \
             self.material_arrays()
         mats = Materials(
@@ -210,6 +247,7 @@ class HostScene:
             prob_table=jnp.asarray(env.prob_table),
             alias_table=jnp.asarray(env.alias_table))
         return DeviceScene(geom=geom, bvh=bvh, pbvh=pbvh, wbvh=wbvh,
+                           wforest=wforest, wforest_maps=wforest_maps,
                            materials=mats, atlas=atlas, envmap=envd)
 
 

@@ -169,3 +169,60 @@ def test_camera_basis_from_rotation():
     # orthonormal
     for a, b in ((r, u), (u, d), (r, d)):
         assert abs(float(jnp.dot(a, b))) < 1e-6
+
+
+def test_forest_matches_oracle(rng):
+    """Treelet-forest packet traversal (beyond-VMEM path) vs oracle, using a
+    tiny budget to force multiple chunks."""
+    import jax.experimental.pallas as pl
+    import fluctus_tpu.ops.traverse_pallas as tp
+    from fluctus_tpu.accel.wide import build_wide_forest
+    from fluctus_tpu.core.types import WideBVH
+
+    orig_call = pl.pallas_call
+    tp.pl.pallas_call = lambda *a, **k: orig_call(*a, **{**k,
+                                                         'interpret': True})
+    try:
+        v0, v1, v2 = random_tris(rng, m=600)
+        hosts, maps = build_wide_forest(v0, v1, v2, bvh_mod.build_bvh,
+                                        budget_bytes=8_000)
+        assert len(hosts) >= 4  # forced chunking
+        n_max = max(h.nodes.shape[0] for h in hosts)
+        l_max = max(h.leaves.shape[0] for h in hosts)
+        chunks = []
+        for h in hosts:
+            nodes = np.zeros((n_max, 56), np.float32)
+            nodes[:, 0:48:6] = np.inf
+            nodes[:h.nodes.shape[0]] = h.nodes
+            leaves = np.zeros((l_max,) + h.leaves.shape[1:], np.float32)
+            leaves[..., 9] = np.frombuffer(np.int32(-1).tobytes(),
+                                           np.float32)[0]
+            leaves[:h.leaves.shape[0]] = h.leaves
+            chunks.append(WideBVH(nodes=jnp.asarray(nodes),
+                                  leaves=jnp.asarray(leaves),
+                                  root_ref=0, depth=int(h.depth),
+                                  leaf_width=int(h.leaves.shape[1])))
+        pmaps = tuple(jnp.asarray(m) for m in maps)
+        orig, dir = random_rays(rng, b=512)
+        res = tp.traverse_closest_forest(tuple(chunks), pmaps,
+                                         jnp.asarray(orig), jnp.asarray(dir),
+                                         np.float32(1e30))
+        t_ref, prim_ref, _, _ = cpu_ref.intersect_closest(v0, v1, v2, orig,
+                                                          dir)
+        np.testing.assert_array_equal(np.asarray(res.prim) >= 0,
+                                      prim_ref >= 0)
+        hit = prim_ref >= 0
+        np.testing.assert_allclose(np.asarray(res.t)[hit], t_ref[hit],
+                                   rtol=1e-4, atol=1e-5)
+        # global prim ids must match the oracle's where t is unique
+        diff = hit & (np.asarray(res.prim) != prim_ref)
+        assert (np.abs(np.asarray(res.t)[diff] - t_ref[diff]) < 1e-4).all()
+        # occlusion
+        t2 = np.full(len(orig), 2.5, np.float32)
+        blocked = tp.traverse_any_forest(tuple(chunks), jnp.asarray(orig),
+                                         jnp.asarray(dir), jnp.asarray(t2))
+        np.testing.assert_array_equal(
+            np.asarray(blocked),
+            cpu_ref.intersect_any(v0, v1, v2, orig, dir, t2))
+    finally:
+        tp.pl.pallas_call = orig_call
