@@ -26,6 +26,11 @@ def build_parser():
         sp.add_argument("--area-light", action="store_true")
         sp.add_argument("--no-sbvh", action="store_true")
         sp.add_argument("--cache-dir", default="data/hierarchies")
+        sp.add_argument("--backend", default="auto",
+                        choices=["auto", "jnp", "packed", "wide", "pallas",
+                                 "mxu"],
+                        help="traversal backend (auto: packet/mxu Pallas "
+                             "kernels on TPU, XLA wide elsewhere)")
 
     r = sub.add_parser("render")
     common(r)
@@ -57,7 +62,7 @@ def make_session(args):
     cfg = RenderConfig(
         width=args.width, height=args.height, max_bounces=args.max_bounces,
         use_env_map=not args.no_env_light and args.env_map is not None,
-        use_area_light=args.area_light)
+        use_area_light=args.area_light, backend=args.backend)
     return driver.create_session(
         args.scene, env_map=args.env_map, cfg=cfg,
         use_sbvh=not args.no_sbvh, cache_dir=args.cache_dir)

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from fluctus_tpu.core import rng, samplers, vecmath as vm
@@ -18,8 +19,8 @@ from fluctus_tpu.core.types import (
 from fluctus_tpu.ops import bsdf as bsdf_mod
 from fluctus_tpu.ops import envmap as env_ops
 from fluctus_tpu.ops import texture as tex_ops
-from fluctus_tpu.ops import (ray_sort, traverse, traverse_packed,
-                             traverse_pallas, traverse_wide)
+from fluctus_tpu.ops import (ray_sort, traverse, traverse_mxu,
+                             traverse_packed, traverse_pallas, traverse_wide)
 from fluctus_tpu.ops.intersect import ray_area_light
 
 T_MAX = jnp.float32(3.4e38)
@@ -63,20 +64,33 @@ def _pallas_any(scene, orig, dir, lens):
     return blocked[inv]
 
 
+def _mxu_ok(scene: DeviceScene) -> bool:
+    return (not scene.wforest) and scene.wbvh.root_ref >= 0 \
+        and traverse_mxu.fits_vmem(scene.wbvh)
+
+
 def trace_scene(scene: DeviceScene, params: RenderParams, cfg: RenderConfig,
                 orig: jnp.ndarray, dir: jnp.ndarray) -> Hit:
     """Closest-hit + optional area-light quad + attribute interpolation
-    (reference: src/mk_next_vertex.cl:38-43, src/wf_extrays.cl:27-35)."""
+    (reference: src/mk_next_vertex.cl:38-43, src/wf_extrays.cl:27-35).
+
+    Hit attributes are wrapped in stop_gradient: visibility and hit
+    parameters are non-differentiable by design (fixed-visibility pixel
+    gradients, SURVEY §7 hard parts), which also keeps reverse-mode AD from
+    attempting to differentiate the Pallas traversal kernels."""
     g = scene.geom
     if cfg.backend == "jnp":
         tr = traverse.traverse_closest(scene.bvh, g.v0, g.v1, g.v2, orig,
                                        dir, T_MAX)
     elif cfg.backend == "packed":
         tr = traverse_packed.traverse_closest(scene.pbvh, orig, dir, T_MAX)
-    elif cfg.backend == "pallas":
+    elif cfg.backend == "mxu" and _mxu_ok(scene):
+        tr = traverse_mxu.traverse_closest(scene.wbvh, orig, dir, T_MAX)
+    elif cfg.backend in ("pallas", "mxu"):
         tr = _pallas_closest(scene, orig, dir, T_MAX)
     else:
         tr = traverse_wide.traverse_closest(scene.wbvh, orig, dir, T_MAX)
+    tr = jax.lax.stop_gradient(tr)
     prim = tr.prim
     hit_tri = prim >= 0
     p_safe = jnp.maximum(prim, 0)
@@ -138,7 +152,9 @@ def _shadow_blocked(scene, params, cfg, orig, ldir, lens, check_area_quad):
                                         ldir, lens)
     elif cfg.backend == "packed":
         blocked = traverse_packed.traverse_any(scene.pbvh, orig, ldir, lens)
-    elif cfg.backend == "pallas":
+    elif cfg.backend == "mxu" and _mxu_ok(scene):
+        blocked = traverse_mxu.traverse_any(scene.wbvh, orig, ldir, lens)
+    elif cfg.backend in ("pallas", "mxu"):
         blocked = _pallas_any(scene, orig, ldir,
                               lens * jnp.ones(orig.shape[0], jnp.float32))
     else:

@@ -1,0 +1,356 @@
+"""Per-lane stackless traversal with MXU one-hot gathers — incoherent rays.
+
+The packet kernel (traverse_pallas.py) is optimal for coherent rays: one
+shared stack, scalar row reads, dense VPU tests. For INCOHERENT rays
+(bounce/NEE directions after the first hit) the packet's visited-node set is
+the UNION over 512 lanes, which approaches the whole tree — each lane does
+~tree-size work. Per-lane traversal fixes the work complexity but needs a
+per-lane node fetch, and TPUs have no per-lane gather: XLA lowers one to a
+latency-bound loop (~0.5 ms per step at 64k lanes, measured — see
+traverse_wide.py).
+
+This kernel makes the per-lane fetch DENSE instead: a gather of B rows from
+a T-row VMEM table is a one-hot matmul — onehot(cur_node) @ table on the
+MXU, which is exact for f32 values (each output is a sum with exactly one
+nonzero term). Tables are stored TRANSPOSED, (56, T) and (W*10, L), so the
+matmul result lands as (columns, BLK) and every per-lane scalar is a cheap
+static row slice. Child refs and triangle ids are stored as f32 *values*
+(exact for |id| < 2^24) so one matmul fetches boxes and refs together.
+
+The traversal itself is the restart-trail scheme of traverse_wide.py
+(Laine 2010): per-lane current node + per-level consumed-slot bitmask +
+parent chain, all updated with one-hot masks over the tiny static level
+axis — no dynamic per-lane indexing anywhere. Each lane visits exactly the
+nodes IT intersects (near-first, pruned by best-t), so a block's step count
+is max-over-lanes instead of union-over-lanes.
+
+Reference analogue: src/bvh.cl:234-310 per-thread stack traversal; this is
+its TPU-native form for divergent rays.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fluctus_tpu.core.types import WideBVH
+
+BLK = 512
+TRI_EPS = 1e-12
+BIG = 3.0e38
+# empty child-slot ref sentinel (f32-exact; valid refs are < 2^24)
+EMPTY_REF = -(1 << 25)
+
+
+class Traversal(NamedTuple):
+    t: jnp.ndarray
+    prim: jnp.ndarray
+    u: jnp.ndarray
+    v: jnp.ndarray
+
+
+def _kernel(orig_ref, dir_ref, tmax_ref, nodes_ref, leaves_ref,
+            out_t, out_prim, out_u, out_v,
+            root_ref: int, leaf_width: int, lvl: int, any_hit: bool,
+            blk: int):
+    f32 = jnp.float32
+    i32 = jnp.int32
+    t_nodes = nodes_ref.shape[1]
+    l_leaves = leaves_ref.shape[1]
+
+    ox = orig_ref[0, :]
+    oy = orig_ref[1, :]
+    oz = orig_ref[2, :]
+    dx = dir_ref[0, :]
+    dy = dir_ref[1, :]
+    dz = dir_ref[2, :]
+
+    def safe_inv(d):
+        return 1.0 / jnp.where(jnp.abs(d) < 1e-20,
+                               jnp.where(d < 0, -1e-20, 1e-20), d)
+
+    ix = safe_inv(dx)
+    iy = safe_inv(dy)
+    iz = safe_inv(dz)
+
+    lvl_iota = jax.lax.broadcasted_iota(i32, (lvl, blk), 0)
+
+    init = (
+        jnp.full((blk,), root_ref, i32),          # cur
+        jnp.zeros((blk,), i32),                   # level (-1 = done)
+        jnp.zeros((lvl, blk), i32),               # trail
+        jnp.zeros((lvl, blk), i32),               # chain
+        tmax_ref[0, :],                           # best_t
+        jnp.full((blk,), -1, i32),                # best_prim
+        jnp.zeros((blk,), f32),                   # best_u
+        jnp.zeros((blk,), f32),                   # best_v
+        jnp.zeros((blk,), i32),                   # blocked
+    )
+
+    def cond(s):
+        level, blocked = s[1], s[8]
+        live = level >= 0
+        if any_hit:
+            live = jnp.logical_and(live, blocked == 0)
+        return jnp.max(jnp.where(live, 1, 0)) > 0
+
+    def body(s):
+        (cur, level, trail, chain, best_t, best_prim, best_u, best_v,
+         blocked) = s
+        act = level >= 0
+        if any_hit:
+            act = act & (blocked == 0)
+
+        # ---- fetch node row: one-hot matmul gather (MXU)
+        oh = (jax.lax.broadcasted_iota(i32, (t_nodes, blk), 0)
+              == cur[None, :]).astype(f32)
+        rows = jax.lax.dot_general(
+            nodes_ref[:, :], oh, (((1,), (0,)), ((), ())),
+            preferred_element_type=f32)              # (56, BLK)
+
+        lvl_oh = lvl_iota == jnp.maximum(level, 0)[None, :]
+        tr = jnp.sum(jnp.where(lvl_oh, trail, 0), axis=0)   # (BLK,)
+
+        # ---- slab tests, 8 children, fully unrolled on (BLK,) vectors
+        keys = []
+        refs = []
+        for j in range(8):
+            lox = rows[j * 6 + 0, :]
+            loy = rows[j * 6 + 1, :]
+            loz = rows[j * 6 + 2, :]
+            hix = rows[j * 6 + 3, :]
+            hiy = rows[j * 6 + 4, :]
+            hiz = rows[j * 6 + 5, :]
+            t0x = (lox - ox) * ix
+            t1x = (hix - ox) * ix
+            t0y = (loy - oy) * iy
+            t1y = (hiy - oy) * iy
+            t0z = (loz - oz) * iz
+            t1z = (hiz - oz) * iz
+            tmin = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                           jnp.minimum(t0y, t1y)),
+                               jnp.minimum(t0z, t1z))
+            tmax = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                           jnp.maximum(t0y, t1y)),
+                               jnp.maximum(t0z, t1z))
+            ref_j = rows[48 + j, :].astype(i32)
+            hit = (tmax >= 0.0) & (tmin <= tmax) & (tmin < best_t)
+            avail = hit & (((tr >> j) & 1) == 0) & (ref_j != EMPTY_REF)
+            keys.append(jnp.where(avail, tmin, BIG))
+            refs.append(ref_j)
+
+        # nearest available child per lane (unrolled min-selection)
+        slot = jnp.zeros((blk,), i32)
+        kmin = keys[0]
+        for j in range(1, 8):
+            take = keys[j] < kmin
+            slot = jnp.where(take, j, slot)
+            kmin = jnp.where(take, keys[j], kmin)
+        has = act & (kmin < BIG)
+
+        # consume chosen slot in this level's trail mask
+        bitval = jnp.int32(1) << slot
+        trail = jnp.where(lvl_oh & has[None, :], trail | bitval[None, :],
+                          trail)
+        ref = refs[0]
+        for j in range(1, 8):
+            ref = jnp.where(slot == j, refs[j], ref)
+
+        is_leaf = ref < 0
+        visit_leaf = has & is_leaf
+        descend = has & ~is_leaf
+        backtrack = act & ~has
+
+        # ---- leaf: one-hot matmul gather + dense Möller over W slots
+        li = jnp.where(visit_leaf, ~ref, 0)
+        oh_l = ((jax.lax.broadcasted_iota(i32, (l_leaves, blk), 0)
+                 == li[None, :]) & visit_leaf[None, :]).astype(f32)
+        lrows = jax.lax.dot_general(
+            leaves_ref[:, :], oh_l, (((1,), (0,)), ((), ())),
+            preferred_element_type=f32)              # (W*10, BLK)
+        for slot_i in range(leaf_width):
+            c = slot_i * 10
+            ax = lrows[c + 0, :]
+            ay = lrows[c + 1, :]
+            az = lrows[c + 2, :]
+            e1x = lrows[c + 3, :]
+            e1y = lrows[c + 4, :]
+            e1z = lrows[c + 5, :]
+            e2x = lrows[c + 6, :]
+            e2y = lrows[c + 7, :]
+            e2z = lrows[c + 8, :]
+            tid = lrows[c + 9, :].astype(i32)
+            px = dy * e2z - dz * e2y
+            py = dz * e2x - dx * e2z
+            pz = dx * e2y - dy * e2x
+            det = e1x * px + e1y * py + e1z * pz
+            ok = jnp.abs(det) >= TRI_EPS
+            idet = 1.0 / jnp.where(ok, det, 1.0)
+            tvx = ox - ax
+            tvy = oy - ay
+            tvz = oz - az
+            u = (tvx * px + tvy * py + tvz * pz) * idet
+            qx = tvy * e1z - tvz * e1y
+            qy = tvz * e1x - tvx * e1z
+            qz = tvx * e1y - tvy * e1x
+            v = (dx * qx + dy * qy + dz * qz) * idet
+            t = (e2x * qx + e2y * qy + e2z * qz) * idet
+            ok = ok & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) \
+                & (u + v <= 1.0) & (t >= 0.0) & (t < best_t) \
+                & (tid >= 0) & visit_leaf
+            if any_hit:
+                blocked = jnp.maximum(blocked, ok.astype(i32))
+            else:
+                best_t = jnp.where(ok, t, best_t)
+                best_prim = jnp.where(ok, tid, best_prim)
+                best_u = jnp.where(ok, u, best_u)
+                best_v = jnp.where(ok, v, best_v)
+
+        # ---- descend: record parent, clear the child level's trail
+        chain = jnp.where(lvl_oh & descend[None, :], cur[None, :], chain)
+        next_oh = lvl_iota == (level + 1)[None, :]
+        trail = jnp.where(next_oh & descend[None, :], 0, trail)
+        cur = jnp.where(descend, ref, cur)
+        level = jnp.where(descend, level + 1, level)
+
+        # ---- backtrack: pop a level, restore parent from the chain
+        level = jnp.where(backtrack, level - 1, level)
+        parent_oh = lvl_iota == jnp.maximum(level, 0)[None, :]
+        parent = jnp.sum(jnp.where(parent_oh, chain, 0), axis=0)
+        cur = jnp.where(backtrack & (level >= 0), parent, cur)
+
+        return (cur, level, trail, chain, best_t, best_prim, best_u,
+                best_v, blocked)
+
+    s = jax.lax.while_loop(cond, body, init)
+    _, _, _, _, best_t, best_prim, best_u, best_v, blocked = s
+    out_t[0, :] = best_t
+    out_prim[0, :] = blocked if any_hit else best_prim
+    out_u[0, :] = best_u
+    out_v[0, :] = best_v
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("root_ref", "leaf_width", "lvl",
+                                    "any_hit", "blk"))
+def _launch(orig_t, dir_t, tmax_row, nodes_t, leaves_t,
+            root_ref: int, leaf_width: int, lvl: int, any_hit: bool,
+            blk: int):
+    b = orig_t.shape[1]
+    grid = (b // blk,)
+    kernel = functools.partial(_kernel, root_ref=root_ref,
+                               leaf_width=leaf_width, lvl=lvl,
+                               any_hit=any_hit, blk=blk)
+    out_shapes = (
+        jax.ShapeDtypeStruct((1, b), jnp.float32),
+        jax.ShapeDtypeStruct((1, b), jnp.int32),
+        jax.ShapeDtypeStruct((1, b), jnp.float32),
+        jax.ShapeDtypeStruct((1, b), jnp.float32),
+    )
+    blk_map = lambda i: (0, i)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        out_shape=out_shapes,
+        in_specs=[
+            pl.BlockSpec((3, blk), blk_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, blk), blk_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk), blk_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=tuple(
+            pl.BlockSpec((1, blk), blk_map, memory_space=pltpu.VMEM)
+            for _ in range(4)),
+    )(orig_t, dir_t, tmax_row, nodes_t, leaves_t)
+
+
+@jax.jit
+def mxu_tables(bvh: WideBVH):
+    """Transpose tables and convert refs/ids to f32 VALUES for the one-hot
+    matmuls (exact for indices < 2^24; the node/leaf counts of any
+    VMEM-resident scene are far below that)."""
+    boxes = bvh.nodes[:, 0:48].reshape(-1, 8, 6)
+    # empty child slots are +inf sentinels (accel/wide.py); a matmul gather
+    # would turn them into NaN columns (0 * inf). Rewrite empty slots as far
+    # finite point boxes (min/max slab tests ignore box inversion, so an
+    # inverted box would HIT everything) and tag their refs with an EMPTY
+    # sentinel the kernel excludes explicitly.
+    empty = ~jnp.isfinite(boxes[:, :, 0:1])
+    far_point = jnp.full((6,), 3e37, jnp.float32)
+    boxes = jnp.where(empty, far_point, boxes).reshape(-1, 48)
+    refs = jax.lax.bitcast_convert_type(bvh.nodes[:, 48:56], jnp.int32)
+    refs = jnp.where(empty[:, :, 0], EMPTY_REF, refs)
+    nodes = jnp.concatenate([boxes, refs.astype(jnp.float32)], axis=1)
+    n_pad = (-nodes.shape[0]) % 128
+    nodes = jnp.pad(nodes, ((0, n_pad), (0, 0)))
+    lv = bvh.leaves
+    ids = jax.lax.bitcast_convert_type(lv[:, :, 9], jnp.int32)
+    # pad rows carry id -1 so their zero triangles are rejected
+    leaves = lv.at[:, :, 9].set(ids.astype(jnp.float32))
+    leaves = leaves.reshape(lv.shape[0], -1)
+    l_pad = (-leaves.shape[0]) % 128
+    leaves = jnp.pad(leaves, ((0, l_pad), (0, 0)))
+    if l_pad:
+        pad_ids = jnp.tile(
+            jnp.arange(10, dtype=jnp.float32)[None, :] == 9,
+            (l_pad, lv.shape[1]))
+        leaves = leaves.at[lv.shape[0]:, :].set(
+            jnp.where(pad_ids, -1.0, 0.0))
+    return nodes.T, leaves.T
+
+
+def _prep(orig, dir, t_max, blk):
+    b = orig.shape[0]
+    pad = (-b) % blk
+    t_vec = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (b,))
+    if pad:
+        orig = jnp.concatenate(
+            [orig, jnp.full((pad, 3), 3.0e37, orig.dtype)])
+        dir = jnp.concatenate(
+            [dir, jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], dir.dtype),
+                                   (pad, 3))])
+        t_vec = jnp.concatenate([t_vec, jnp.zeros((pad,), jnp.float32)])
+    return orig.T, dir.T, t_vec[None, :], b
+
+
+def fits_vmem(bvh: WideBVH, blk: int = BLK,
+              budget_bytes: int = 10 << 20) -> bool:
+    """The kernel holds both transposed tables AND the (T, BLK)/(L, BLK)
+    one-hot operands in VMEM; all four must fit."""
+    t_pad = -(-bvh.nodes.shape[0] // 128) * 128
+    l_pad = -(-bvh.leaves.shape[0] // 128) * 128
+    tables = (t_pad * 56 + l_pad * bvh.leaf_width * 10) * 4
+    onehots = (t_pad + l_pad) * blk * 4
+    return tables + onehots <= budget_bytes
+
+
+def traverse_closest(bvh: WideBVH, orig, dir, t_max,
+                     blk: int = BLK) -> Traversal:
+    if bvh.root_ref < 0:
+        from fluctus_tpu.ops import traverse_wide
+        r = traverse_wide.traverse_closest(bvh, orig, dir, t_max)
+        return Traversal(r.t, r.prim, r.u, r.v)
+    nodes_t, leaves_t = mxu_tables(bvh)
+    orig_t, dir_t, t_row, b = _prep(orig, dir, t_max, blk)
+    t, prim, u, v = _launch(orig_t, dir_t, t_row, nodes_t, leaves_t,
+                            int(bvh.root_ref), int(bvh.leaf_width),
+                            int(bvh.depth) + 1, False, blk)
+    return Traversal(t[0, :b], prim[0, :b], u[0, :b], v[0, :b])
+
+
+def traverse_any(bvh: WideBVH, orig, dir, t_max,
+                 blk: int = BLK) -> jnp.ndarray:
+    if bvh.root_ref < 0:
+        from fluctus_tpu.ops import traverse_wide
+        return traverse_wide.traverse_any(bvh, orig, dir, t_max)
+    nodes_t, leaves_t = mxu_tables(bvh)
+    orig_t, dir_t, t_row, b = _prep(orig, dir, t_max, blk)
+    _, prim, _, _ = _launch(orig_t, dir_t, t_row, nodes_t, leaves_t,
+                            int(bvh.root_ref), int(bvh.leaf_width),
+                            int(bvh.depth) + 1, True, blk)
+    return prim[0, :b] > 0
