@@ -36,6 +36,9 @@ def build_parser():
     common(r)
     r.add_argument("-s", "--spp", type=int, default=16)
     r.add_argument("-o", "--output", default="output.png")
+    r.add_argument("--integrator", default="auto",
+                   choices=["auto", "lockstep", "stream"],
+                   help="auto: streaming wavefront on TPU, lockstep on CPU")
     r.add_argument("--hdr", action="store_true",
                    help="write linear .hdr instead of tonemapped png")
 
@@ -74,9 +77,9 @@ def cmd_render(args):
 
     sess = make_session(args)
     if args.hdr:
-        img = driver.render(sess, args.spp)
+        img = driver.render(sess, args.spp, integrator=args.integrator)
     else:
-        img = driver.render_ldr(sess, args.spp)
+        img = driver.render_ldr(sess, args.spp, integrator=args.integrator)
     save_image(args.output, img)
     print(f"wrote {args.output}")
 

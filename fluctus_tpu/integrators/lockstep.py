@@ -35,8 +35,17 @@ LIGHT_PICK_PROB = jnp.float32(1.0)
 
 def sample_radiance(scene: DeviceScene, params: RenderParams,
                     cfg: RenderConfig, pixel_idx: jnp.ndarray,
-                    sample_idx: jnp.ndarray) -> jnp.ndarray:
-    """Trace one complete path per pixel index; returns (B, 3) radiance."""
+                    sample_idx: jnp.ndarray,
+                    early_exit: bool = False) -> jnp.ndarray:
+    """Trace one complete path per pixel index; returns (B, 3) radiance.
+
+    early_exit=True runs the bounce loop as a lax.while_loop that stops as
+    soon as every lane has terminated (env/light hit or dead throughput) —
+    a large win on open scenes where most paths die after bounce 1
+    (reference wavefront gets this for free via its raygen queue,
+    src/wf_logic.cl:158-177; this is the lockstep equivalent). Forward-only:
+    reverse-mode AD needs the fixed-trip scan, so optimization paths call
+    with early_exit=False (the default)."""
     types = cfg.bsdf_types_mask
     pix = pixel_idx.astype(jnp.uint32)
     samp = jnp.asarray(sample_idx, jnp.uint32)
@@ -127,6 +136,19 @@ def sample_radiance(scene: DeviceScene, params: RenderParams,
                 alive), None
 
     carry = (orig, dir, throughput, ei, last_pdf_w, last_specular, alive)
+    if early_exit:
+        def w_cond(s):
+            bounce, carry = s
+            return (bounce <= cfg.max_bounces) & jnp.any(carry[6])
+
+        def w_body(s):
+            bounce, carry = s
+            carry, _ = bounce_body(carry, bounce)
+            return bounce + 1, carry
+
+        _, carry = jax.lax.while_loop(w_cond, w_body,
+                                      (jnp.uint32(0), carry))
+        return carry[3]
     bounces = jnp.arange(cfg.max_bounces + 1, dtype=jnp.uint32)
     carry, _ = jax.lax.scan(jax.checkpoint(bounce_body), carry, bounces)
     return carry[3]
@@ -139,14 +161,12 @@ def _render_tile(scene, params, cfg, pixel_idx, sample_idx):
 
 @partial(jax.jit, static_argnames=("cfg", "n_samples"))
 def _render_tile_spp(scene, params, cfg, pixel_idx, sample0, n_samples):
-    """Accumulate n_samples inside ONE program (lax.scan over samples).
-
-    Per-executable invocation overhead through the device transport is
-    ~25-30 ms for the many-leaved scene pytree (measured); fusing the spp
-    loop amortizes it across all samples of a tile."""
+    """Accumulate n_samples inside ONE program (lax.scan over samples),
+    amortizing per-program costs; each sample's bounce loop early-exits
+    once all its lanes terminate (forward-only render path)."""
     def body(acc, k):
         return acc + sample_radiance(scene, params, cfg, pixel_idx,
-                                     sample0 + k), None
+                                     sample0 + k, early_exit=True), None
     acc = jnp.zeros((pixel_idx.shape[0], 3), jnp.float32)
     acc, _ = jax.lax.scan(body, acc,
                           jnp.arange(n_samples, dtype=jnp.uint32))

@@ -145,23 +145,21 @@ def _nee_single_light(scene, params, cfg, ctx, sh_orig, wi, types, pix, samp,
     return vm.where3(ok, contrib, jnp.zeros_like(contrib)), pick_prob
 
 
-@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(3, 4, 5))
-def wavefront_iteration(scene: DeviceScene, params: RenderParams,
-                        cfg: RenderConfig, state: PathState,
-                        framebuffer: jnp.ndarray, counters: jnp.ndarray):
-    """One wavefront segment over the whole pool. Buffers are donated —
-    the pool state and framebuffer update in place like the reference's
-    persistent device buffers.
-
-    counters: [pixel_counter, spawn_counter, samples_done] uint32."""
+def _segment_core(scene: DeviceScene, params: RenderParams,
+                  cfg: RenderConfig, state: PathState):
+    """The per-segment path logic shared by both wavefront drivers:
+    extension trace -> RR -> implicit env/area hits -> NEE -> continuation
+    sampling (reference: wf_extrays.cl + wf_logic.cl + wf_mat_*.cl +
+    wf_shadowrays.cl). Returns everything the splat/respawn policy needs."""
     types = cfg.bsdf_types_mask
-    n_pix = cfg.width * cfg.height
     pix = state.pixel_index
     samp = state.sample_index
     bounce = state.path_len
 
-    # --- extension trace (wf_extrays.cl)
-    hit = common.trace_scene(scene, params, cfg, state.orig, state.dir)
+    # --- extension trace (wf_extrays.cl); inactive lanes trace miss rays
+    t_orig, t_dir = common.neutralize_rays(state.orig, state.dir,
+                                           state.alive)
+    hit = common.trace_scene(scene, params, cfg, t_orig, t_dir)
     path_len = state.path_len + 1
 
     t = state.throughput
@@ -223,6 +221,31 @@ def wavefront_iteration(scene: DeviceScene, params: RenderParams,
     ok = (s.pdf != 0.0) & ~vm.is_zero(s.f)
     new_t = t * s.f * (cos_th / jnp.where(ok, s.pdf, 1.0))[..., None]
     terminate = terminate | ~ok | vm.is_zero(new_t)
+    return hit, terminate, ei, wo, new_t, s.pdf, singular, path_len
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(3, 4, 5))
+def wavefront_iteration(scene: DeviceScene, params: RenderParams,
+                        cfg: RenderConfig, state: PathState,
+                        framebuffer: jnp.ndarray, counters: jnp.ndarray):
+    """One wavefront segment over the whole pool with the REFERENCE policy:
+    terminated paths scatter-splat to their pixel and respawn on the next
+    pixel via a striding counter (wf_raygen.cl:25). Buffers are donated —
+    the pool state and framebuffer update in place like the reference's
+    persistent device buffers.
+
+    NOTE (measured): XLA scatter-add on TPU costs ~1 s for a 262k-lane
+    pool (~4 us/update), so this general-striding form is VASTLY slower
+    than render_pinned below; it is kept as the reference-parity form for
+    arbitrary pool/image size ratios.
+
+    counters: [pixel_counter, spawn_counter, samples_done] uint32."""
+    n_pix = cfg.width * cfg.height
+    pix = state.pixel_index
+    samp = state.sample_index
+
+    hit, terminate, ei, wo, new_t, s_pdf, singular, path_len = \
+        _segment_core(scene, params, cfg, state)
 
     # --- splat terminated paths (scatter-add; wf_logic.cl:158-177)
     splat = terminate & (path_len > 0)
@@ -242,12 +265,12 @@ def wavefront_iteration(scene: DeviceScene, params: RenderParams,
     state = PathState(
         orig=vm.where3(terminate, r_orig, hit.p + common.OFFSET_CONT * wo),
         dir=vm.where3(terminate, r_dir, wo),
-        throughput=vm.where3(terminate, jnp.ones_like(t), new_t),
+        throughput=vm.where3(terminate, jnp.ones_like(new_t), new_t),
         radiance=vm.where3(terminate, jnp.zeros_like(ei), ei),
         pixel_index=jnp.where(terminate, new_pix, pix),
         sample_index=jnp.where(terminate, new_spawn, samp),
         path_len=jnp.where(terminate, 0, path_len).astype(jnp.uint32),
-        last_pdf_w=jnp.where(terminate, 1.0, s.pdf),
+        last_pdf_w=jnp.where(terminate, 1.0, s_pdf),
         last_specular=jnp.where(terminate, True, singular),
         alive=jnp.ones_like(state.alive),
     )
@@ -283,3 +306,144 @@ def render(scene: DeviceScene, params: RenderParams, cfg: RenderConfig,
                 break
     img = fb[:, :3] / jnp.maximum(fb[:, 3:4], 1.0)
     return img.reshape(cfg.height, cfg.width, 3)
+
+
+# ---------------------------------------------------------------------------
+# Streaming wavefront with scatter-free binning — the TPU throughput form.
+#
+# XLA scatter-add costs ~4 us/update on TPU (measured: ~1 s to splat a 262k
+# pool), so the reference's per-segment scatter splat is hostile to the
+# hardware. This driver keeps the reference's striding-respawn pool (perfect
+# load balance, wf_raygen.cl:25) but removes every scatter:
+#   * each lane accumulates its completed samples into a PRIVATE slot buffer
+#     (pool, K, 3) via a dense one-hot over the tiny static slot axis;
+#   * exact-spp spawning means every pixel receives exactly spp samples, so
+#     one argsort by pixel id at the end lines samples up in contiguous
+#     groups of spp -> binning is a reshape-sum. Sorts and gathers are fast
+#     on TPU; only scatter is pathological.
+# A terminated path respawns IMMEDIATELY (the wavefront's key win over
+# lockstep: mean path length ~1.6 segments on open scenes vs a fixed
+# max_bounces+1), and Russian roulette works (exact spp is still guaranteed
+# because spawn COUNT is exact; RR only changes path length).
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("cfg", "spp", "k_slots"),
+         donate_argnums=(3, 4, 5, 6, 7))
+def stream_iteration(scene: DeviceScene, params: RenderParams,
+                     cfg: RenderConfig, state: PathState, slots: jnp.ndarray,
+                     out_rgb: jnp.ndarray, out_pix: jnp.ndarray,
+                     counters: jnp.ndarray, spp: int, k_slots: int):
+    """One streaming segment.
+
+    slots: (pool,) u32 — lane's completed-sample count (its next free slot).
+    out_rgb: (pool, K, 3); out_pix: (pool, K) i32 (-1 = empty).
+    counters: [spawn_counter, ext_rays, shadow_rays] uint32."""
+    n_pix = cfg.width * cfg.height
+    target = jnp.uint32(n_pix * spp)
+    active = state.alive
+
+    hit, terminate, ei, wo, new_t, s_pdf, singular, path_len = \
+        _segment_core(scene, params, cfg, state)
+    terminate = terminate & active
+    done = terminate & (path_len > 0)
+
+    # --- splat into the lane-private slot buffer (dense one-hot over K)
+    slot_oh = (slots[:, None] == jnp.arange(k_slots, dtype=jnp.uint32)) \
+        & done[:, None]                                     # (pool, K)
+    out_rgb = out_rgb + slot_oh[:, :, None] * ei[:, None, :]
+    out_pix = jnp.where(slot_oh, state.pixel_index[:, None].astype(jnp.int32),
+                        out_pix)
+    slots = slots + done.astype(jnp.uint32)
+
+    # --- striding respawn with an exact global spawn budget; lanes whose
+    # slot buffer is full decline (the unconsumed spawn id goes to another
+    # lane in a later segment)
+    eligible = terminate & (slots < k_slots)
+    rank = jnp.cumsum(eligible.astype(jnp.uint32)) - eligible
+    new_spawn = counters[0] + rank
+    can_spawn = eligible & (new_spawn < target)
+    n_spawned = jnp.sum(can_spawn.astype(jnp.uint32))
+    new_pix = jnp.where(can_spawn, new_spawn % n_pix, 0)
+    new_samp = jnp.where(can_spawn, new_spawn // n_pix, 0)
+    r_orig, r_dir = _raygen(params, cfg, new_pix, new_samp)
+
+    alive_next = jnp.where(terminate, can_spawn, active)
+    state = PathState(
+        orig=vm.where3(terminate, r_orig, hit.p + common.OFFSET_CONT * wo),
+        dir=vm.where3(terminate, r_dir, wo),
+        throughput=vm.where3(terminate, jnp.ones_like(new_t), new_t),
+        radiance=vm.where3(terminate, jnp.zeros_like(ei), ei),
+        pixel_index=jnp.where(terminate, new_pix, state.pixel_index),
+        sample_index=jnp.where(terminate, new_samp, state.sample_index),
+        path_len=jnp.where(terminate, 0, path_len).astype(jnp.uint32),
+        last_pdf_w=jnp.where(terminate, 1.0, s_pdf),
+        last_specular=jnp.where(terminate, True, singular),
+        alive=alive_next,
+    )
+    n_act = jnp.sum(active.astype(jnp.uint32))
+    counters = counters.at[0].add(n_spawned)
+    counters = counters.at[1].add(n_act)
+    counters = counters.at[2].add(n_act)
+    return state, slots, out_rgb, out_pix, counters
+
+
+def render_stream(scene: DeviceScene, params: RenderParams,
+                  cfg: RenderConfig, spp: int, segments_per_launch: int = 4):
+    """Render exactly `spp` samples/pixel with the streaming wavefront.
+    Returns ((H, W, 3) image, counters [spawns, ext_rays, shadow_rays])."""
+    n_pix = cfg.width * cfg.height
+    pool = min(cfg.pool_size, n_pix * spp)
+    total = n_pix * spp
+    # K bound: pool*k_slots >= 2*total guarantees the drain cannot deadlock
+    # (a full lane declines respawns; all-lanes-full would need 2*total
+    # completed samples, which exceeds the exact spawn budget)
+    k_slots = int(2 * ((total + pool - 1) // pool) + 16)
+
+    lane = jnp.arange(pool, dtype=jnp.uint32)
+    orig, dir = _raygen(params, cfg, lane % n_pix, lane // n_pix)
+    state = PathState(
+        orig=orig, dir=dir,
+        throughput=jnp.ones((pool, 3), jnp.float32),
+        radiance=jnp.zeros((pool, 3), jnp.float32),
+        pixel_index=lane % n_pix,
+        sample_index=lane // n_pix,
+        path_len=jnp.zeros((pool,), jnp.uint32),
+        last_pdf_w=jnp.ones((pool,), jnp.float32),
+        last_specular=jnp.ones((pool,), bool),
+        alive=jnp.ones((pool,), bool),
+    )
+    slots = jnp.zeros((pool,), jnp.uint32)
+    out_rgb = jnp.zeros((pool, k_slots, 3), jnp.float32)
+    out_pix = jnp.full((pool, k_slots), -1, jnp.int32)
+    counters = jnp.zeros((3,), jnp.uint32)
+    counters = counters.at[0].set(pool)  # pre-spawned
+
+    cap = k_slots * (cfg.max_bounces + 1) * 2 + 32
+    it = 0
+    pending = []  # lagged drain checks: block on an OLD check while the
+    #               newest launch is already queued (hides sync latency)
+    while it < cap:
+        for _ in range(segments_per_launch):
+            state, slots, out_rgb, out_pix, counters = stream_iteration(
+                scene, params, cfg, state, slots, out_rgb, out_pix,
+                counters, spp, k_slots)
+            it += 1
+        pending.append(jnp.any(state.alive))
+        if len(pending) >= 2 and not bool(pending.pop(0)):
+            break
+
+    done_samples = int(jnp.sum(slots))
+    if done_samples != total:
+        raise RuntimeError(
+            f"stream drain incomplete: {done_samples}/{total} samples "
+            f"(cap {cap}, k_slots {k_slots})")
+
+    # --- scatter-free binning: sort by pixel, reshape-sum groups of spp
+    flat_pix = out_pix.reshape(-1)
+    flat_rgb = out_rgb.reshape(-1, 3)
+    # invalid slots (-1) sort to the back via unsigned keys
+    keys = flat_pix.astype(jnp.uint32)
+    order = jnp.argsort(keys)
+    rgb_sorted = flat_rgb[order]
+    img = rgb_sorted[: total].reshape(n_pix, spp, 3).sum(axis=1) / spp
+    return img.reshape(cfg.height, cfg.width, 3), counters

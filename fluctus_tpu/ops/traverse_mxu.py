@@ -56,7 +56,7 @@ class Traversal(NamedTuple):
 def _kernel(orig_ref, dir_ref, tmax_ref, nodes_ref, leaves_ref,
             out_t, out_prim, out_u, out_v,
             root_ref: int, leaf_width: int, lvl: int, any_hit: bool,
-            blk: int):
+            blk: int, debug_steps: bool = False):
     f32 = jnp.float32
     i32 = jnp.int32
     t_nodes = nodes_ref.shape[1]
@@ -89,6 +89,7 @@ def _kernel(orig_ref, dir_ref, tmax_ref, nodes_ref, leaves_ref,
         jnp.zeros((blk,), f32),                   # best_u
         jnp.zeros((blk,), f32),                   # best_v
         jnp.zeros((blk,), i32),                   # blocked
+        jnp.int32(0),                             # step counter
     )
 
     def cond(s):
@@ -100,7 +101,7 @@ def _kernel(orig_ref, dir_ref, tmax_ref, nodes_ref, leaves_ref,
 
     def body(s):
         (cur, level, trail, chain, best_t, best_prim, best_u, best_v,
-         blocked) = s
+         blocked, steps) = s
         act = level >= 0
         if any_hit:
             act = act & (blocked == 0)
@@ -165,50 +166,59 @@ def _kernel(orig_ref, dir_ref, tmax_ref, nodes_ref, leaves_ref,
         descend = has & ~is_leaf
         backtrack = act & ~has
 
-        # ---- leaf: one-hot matmul gather + dense Möller over W slots
-        li = jnp.where(visit_leaf, ~ref, 0)
-        oh_l = ((jax.lax.broadcasted_iota(i32, (l_leaves, blk), 0)
-                 == li[None, :]) & visit_leaf[None, :]).astype(f32)
-        lrows = jax.lax.dot_general(
-            leaves_ref[:, :], oh_l, (((1,), (0,)), ((), ())),
-            preferred_element_type=f32)              # (W*10, BLK)
-        for slot_i in range(leaf_width):
-            c = slot_i * 10
-            ax = lrows[c + 0, :]
-            ay = lrows[c + 1, :]
-            az = lrows[c + 2, :]
-            e1x = lrows[c + 3, :]
-            e1y = lrows[c + 4, :]
-            e1z = lrows[c + 5, :]
-            e2x = lrows[c + 6, :]
-            e2y = lrows[c + 7, :]
-            e2z = lrows[c + 8, :]
-            tid = lrows[c + 9, :].astype(i32)
-            px = dy * e2z - dz * e2y
-            py = dz * e2x - dx * e2z
-            pz = dx * e2y - dy * e2x
-            det = e1x * px + e1y * py + e1z * pz
-            ok = jnp.abs(det) >= TRI_EPS
-            idet = 1.0 / jnp.where(ok, det, 1.0)
-            tvx = ox - ax
-            tvy = oy - ay
-            tvz = oz - az
-            u = (tvx * px + tvy * py + tvz * pz) * idet
-            qx = tvy * e1z - tvz * e1y
-            qy = tvz * e1x - tvx * e1z
-            qz = tvx * e1y - tvy * e1x
-            v = (dx * qx + dy * qy + dz * qz) * idet
-            t = (e2x * qx + e2y * qy + e2z * qz) * idet
-            ok = ok & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) \
-                & (u + v <= 1.0) & (t >= 0.0) & (t < best_t) \
-                & (tid >= 0) & visit_leaf
-            if any_hit:
-                blocked = jnp.maximum(blocked, ok.astype(i32))
-            else:
-                best_t = jnp.where(ok, t, best_t)
-                best_prim = jnp.where(ok, tid, best_prim)
-                best_u = jnp.where(ok, u, best_u)
-                best_v = jnp.where(ok, v, best_v)
+        # ---- leaf: one-hot matmul gather + dense Möller over W slots.
+        # Runs unconditionally: wrapping it in lax.cond (to skip steps where
+        # no lane visits a leaf) crashes this toolchain's Mosaic pipeline
+        # with a layout check (`arr.size() >= layout_rank`), reproduced with
+        # scalar operands and pass-through else-branches alike.
+        def leaf_phase(_):
+            bt, bp, bu, bv, bl = best_t, best_prim, best_u, best_v, blocked
+            li = jnp.where(visit_leaf, ~ref, 0)
+            oh_l = ((jax.lax.broadcasted_iota(i32, (l_leaves, blk), 0)
+                     == li[None, :]) & visit_leaf[None, :]).astype(f32)
+            lrows = jax.lax.dot_general(
+                leaves_ref[:, :], oh_l, (((1,), (0,)), ((), ())),
+                preferred_element_type=f32)          # (W*10, BLK)
+            for slot_i in range(leaf_width):
+                c = slot_i * 10
+                ax = lrows[c + 0, :]
+                ay = lrows[c + 1, :]
+                az = lrows[c + 2, :]
+                e1x = lrows[c + 3, :]
+                e1y = lrows[c + 4, :]
+                e1z = lrows[c + 5, :]
+                e2x = lrows[c + 6, :]
+                e2y = lrows[c + 7, :]
+                e2z = lrows[c + 8, :]
+                tid = lrows[c + 9, :].astype(i32)
+                px = dy * e2z - dz * e2y
+                py = dz * e2x - dx * e2z
+                pz = dx * e2y - dy * e2x
+                det = e1x * px + e1y * py + e1z * pz
+                ok = jnp.abs(det) >= TRI_EPS
+                idet = 1.0 / jnp.where(ok, det, 1.0)
+                tvx = ox - ax
+                tvy = oy - ay
+                tvz = oz - az
+                u = (tvx * px + tvy * py + tvz * pz) * idet
+                qx = tvy * e1z - tvz * e1y
+                qy = tvz * e1x - tvx * e1z
+                qz = tvx * e1y - tvy * e1x
+                v = (dx * qx + dy * qy + dz * qz) * idet
+                t = (e2x * qx + e2y * qy + e2z * qz) * idet
+                ok = ok & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) \
+                    & (u + v <= 1.0) & (t >= 0.0) & (t < bt) \
+                    & (tid >= 0) & visit_leaf
+                if any_hit:
+                    bl = jnp.maximum(bl, ok.astype(i32))
+                else:
+                    bt = jnp.where(ok, t, bt)
+                    bp = jnp.where(ok, tid, bp)
+                    bu = jnp.where(ok, u, bu)
+                    bv = jnp.where(ok, v, bv)
+            return bt, bp, bu, bv, bl
+
+        best_t, best_prim, best_u, best_v, blocked = leaf_phase(steps)
 
         # ---- descend: record parent, clear the child level's trail
         chain = jnp.where(lvl_oh & descend[None, :], cur[None, :], chain)
@@ -224,27 +234,31 @@ def _kernel(orig_ref, dir_ref, tmax_ref, nodes_ref, leaves_ref,
         cur = jnp.where(backtrack & (level >= 0), parent, cur)
 
         return (cur, level, trail, chain, best_t, best_prim, best_u,
-                best_v, blocked)
+                best_v, blocked, steps + 1)
 
     s = jax.lax.while_loop(cond, body, init)
-    _, _, _, _, best_t, best_prim, best_u, best_v, blocked = s
+    _, _, _, _, best_t, best_prim, best_u, best_v, blocked, steps = s
     out_t[0, :] = best_t
     out_prim[0, :] = blocked if any_hit else best_prim
     out_u[0, :] = best_u
-    out_v[0, :] = best_v
+    if debug_steps:
+        out_v[0, :] = jnp.zeros((blk,), f32) + steps.astype(f32)
+    else:
+        out_v[0, :] = best_v
 
 
 @functools.partial(jax.jit,
                    static_argnames=("root_ref", "leaf_width", "lvl",
-                                    "any_hit", "blk"))
+                                    "any_hit", "blk", "debug_steps"))
 def _launch(orig_t, dir_t, tmax_row, nodes_t, leaves_t,
             root_ref: int, leaf_width: int, lvl: int, any_hit: bool,
-            blk: int):
+            blk: int, debug_steps: bool = False):
     b = orig_t.shape[1]
     grid = (b // blk,)
     kernel = functools.partial(_kernel, root_ref=root_ref,
                                leaf_width=leaf_width, lvl=lvl,
-                               any_hit=any_hit, blk=blk)
+                               any_hit=any_hit, blk=blk,
+                               debug_steps=debug_steps)
     out_shapes = (
         jax.ShapeDtypeStruct((1, b), jnp.float32),
         jax.ShapeDtypeStruct((1, b), jnp.int32),
@@ -341,6 +355,18 @@ def traverse_closest(bvh: WideBVH, orig, dir, t_max,
                             int(bvh.root_ref), int(bvh.leaf_width),
                             int(bvh.depth) + 1, False, blk)
     return Traversal(t[0, :b], prim[0, :b], u[0, :b], v[0, :b])
+
+
+def traversal_steps(bvh: WideBVH, orig, dir, t_max,
+                    blk: int = BLK) -> jnp.ndarray:
+    """Per-block while-iteration counts (perf instrumentation; the cost
+    model is sum-over-blocks of steps x per-step latency)."""
+    nodes_t, leaves_t = mxu_tables(bvh)
+    orig_t, dir_t, t_row, b = _prep(orig, dir, t_max, blk)
+    _, _, _, v = _launch(orig_t, dir_t, t_row, nodes_t, leaves_t,
+                         int(bvh.root_ref), int(bvh.leaf_width),
+                         int(bvh.depth) + 1, False, blk, debug_steps=True)
+    return v[0, ::blk].astype(jnp.int32)
 
 
 def traverse_any(bvh: WideBVH, orig, dir, t_max,

@@ -82,9 +82,27 @@ def create_session(scene_path: str, env_map: str | None = None,
                          cfg=cfg)
 
 
-def render(session: RenderSession, spp: int) -> np.ndarray:
-    """Linear-radiance render at exact spp (lockstep integrator,
-    reference: Tracer::renderSingle)."""
+def render(session: RenderSession, spp: int,
+           integrator: str = "auto") -> np.ndarray:
+    """Linear-radiance render at exact spp.
+
+    integrator: 'lockstep' (scan over bounces, reference renderSingle),
+    'stream' (streaming wavefront with scatter-free binning — ~1.5x faster
+    on open scenes, same exact-spp guarantee and bit-compatible RNG), or
+    'auto' (stream on TPU, lockstep elsewhere)."""
+    if integrator == "auto":
+        import jax
+        integrator = ("stream" if jax.default_backend() not in ("cpu",)
+                      else "lockstep")
+    if integrator == "stream":
+        from fluctus_tpu.integrators import wavefront
+        cfg = session.cfg
+        n_pix = cfg.width * cfg.height
+        pool = min(cfg.pool_size, max(1 << 12, min(1 << 15, n_pix)))
+        cfg = cfg.replace(pool_size=pool)
+        img, _ = wavefront.render_stream(session.scene, session.params,
+                                         cfg, spp)
+        return np.asarray(img)
     img = lockstep.render(session.scene, session.params, session.cfg, spp)
     return np.asarray(img)
 
@@ -98,9 +116,10 @@ def render_preview(session: RenderSession, spp: int = 1) -> np.ndarray:
     return np.asarray(img)
 
 
-def render_ldr(session: RenderSession, spp: int) -> np.ndarray:
+def render_ldr(session: RenderSession, spp: int,
+               integrator: str = "auto") -> np.ndarray:
     """Render + postprocess to display-referred RGB."""
-    img = render(session, spp)
+    img = render(session, spp, integrator=integrator)
     w = np.ones(img.shape[:2], np.float32)
     out = tm.postprocess(jnp.asarray(img), jnp.asarray(w),
                          session.params.exposure, session.cfg.tonemap_op)

@@ -52,3 +52,33 @@ def test_wavefront_samples_accounted():
             scene, params, cfg, state, fb, counters)
     # splatted weight total equals the samples_done counter
     assert int(jnp.sum(fb[:, 3])) == int(counters[2])
+
+
+def test_stream_bitmatches_lockstep():
+    """The streaming wavefront (scatter-free binning) traces the exact same
+    (pixel, sample) paths as lockstep via the counter-based RNG — images
+    must agree to float sum-order tolerance."""
+    scene, params, cfg = plane_session()
+    cfg = cfg.replace(pool_size=1 << 12, use_roulette=False)
+    img_s, cnt = wavefront.render_stream(scene, params, cfg, spp=4)
+    img_l = lockstep.render(scene, params, cfg, spp=4)
+    np.testing.assert_allclose(np.asarray(img_s), np.asarray(img_l),
+                               atol=1e-5)
+    n_pix = cfg.width * cfg.height
+    assert int(cnt[0]) == n_pix * 4  # exact spawn budget
+
+
+def test_stream_pool_smaller_than_image():
+    scene, params, cfg = plane_session()
+    cfg = cfg.replace(pool_size=64, use_roulette=False)
+    img, _ = wavefront.render_stream(scene, params, cfg, spp=2)
+    assert float(jnp.min(jnp.mean(img, axis=-1))) > 0.1
+
+
+def test_stream_roulette_exact_spp():
+    """RR changes path lengths, not the spawn budget — exact spp still."""
+    scene, params, cfg = plane_session(max_bounces=1)
+    cfg = cfg.replace(pool_size=1 << 12, use_roulette=True)
+    img, cnt = wavefront.render_stream(scene, params, cfg, spp=8)
+    assert int(cnt[0]) == cfg.width * cfg.height * 8
+    np.testing.assert_allclose(float(jnp.mean(img)), RHO_LIN, rtol=0.1)
