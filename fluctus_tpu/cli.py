@@ -39,6 +39,9 @@ def build_parser():
     r.add_argument("--integrator", default="auto",
                    choices=["auto", "lockstep", "stream"],
                    help="auto: streaming wavefront on TPU, lockstep on CPU")
+    r.add_argument("--denoise", type=float, default=0.0, metavar="BLEND",
+                   help="edge-avoiding A-trous denoise blend in [0,1] "
+                        "(reference: OptiX denoiser blend slider)")
     r.add_argument("--hdr", action="store_true",
                    help="write linear .hdr instead of tonemapped png")
 
@@ -76,7 +79,20 @@ def cmd_render(args):
     from fluctus_tpu.render import driver
 
     sess = make_session(args)
-    if args.hdr:
+    if args.denoise > 0.0:
+        import jax.numpy as jnp
+
+        from fluctus_tpu.ops import tonemap as tm
+        img = driver.render_denoised(sess, args.spp, blend=args.denoise,
+                                     integrator=args.integrator)
+        if not args.hdr:
+            import numpy as np
+            w = np.ones(img.shape[:2], np.float32)
+            img = np.asarray(tm.postprocess(jnp.asarray(img),
+                                            jnp.asarray(w),
+                                            sess.params.exposure,
+                                            sess.cfg.tonemap_op))
+    elif args.hdr:
         img = driver.render(sess, args.spp, integrator=args.integrator)
     else:
         img = driver.render_ldr(sess, args.spp, integrator=args.integrator)

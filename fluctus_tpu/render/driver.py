@@ -5,7 +5,9 @@ from __future__ import annotations
 
 import time
 from dataclasses import dataclass
+from functools import partial
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -123,6 +125,65 @@ def render_ldr(session: RenderSession, spp: int,
     w = np.ones(img.shape[:2], np.float32)
     out = tm.postprocess(jnp.asarray(img), jnp.asarray(w),
                          session.params.exposure, session.cfg.tonemap_op)
+    return np.asarray(out)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _aux_tile(scene, params, cfg, pix):
+    from fluctus_tpu.integrators import common
+    from fluctus_tpu.ops import camera as cam_ops
+    from fluctus_tpu.ops import envmap as env_ops
+
+    half = jnp.full(pix.shape, 0.5, jnp.float32)
+    zero = jnp.zeros(pix.shape, jnp.float32)
+    orig, dir = cam_ops.generate_rays(params.camera, pix, cfg.width,
+                                      cfg.height, half, half, zero,
+                                      zero, params.world_radius)
+    hit = common.trace_scene(scene, params, cfg, orig, dir)
+    ctx = common.make_shading_ctx(scene, hit, dir)
+    missed = hit.prim < 0
+    albedo = ctx.kd
+    if cfg.use_env_map:
+        bg = env_ops.eval_dir(scene.envmap, dir) * params.env_strength
+        albedo = jnp.where(missed[:, None], bg, albedo)
+    normal = jnp.where(missed[:, None], 0.0, ctx.n)
+    depth = jnp.where(missed, 2.0,
+                      hit.t / jnp.maximum(params.world_radius, 1e-6))
+    return albedo, normal, depth
+
+
+def render_aux(session: RenderSession):
+    """Denoiser feature buffers from the primary hit: (albedo (H,W,3),
+    normal (H,W,3), depth (H,W) in world-radius units). Deterministic
+    center rays, no lens offset (reference analogue: the albedo/normal
+    PBOs fed to the OptiX denoiser, src/mk_postprocess.cl +
+    src/denoiser/OptixDenoiser.cpp:86-159)."""
+    scene, params, cfg = session.scene, session.params, session.cfg
+    n_pix = cfg.width * cfg.height
+    tile = min(cfg.tile_size, n_pix)
+    outs = []
+    for start in range(0, n_pix, tile):
+        pix = jnp.arange(start, min(start + tile, n_pix), dtype=jnp.uint32)
+        outs.append(_aux_tile(scene, params, cfg, pix))
+    albedo = jnp.concatenate([o[0] for o in outs])
+    normal = jnp.concatenate([o[1] for o in outs])
+    depth = jnp.concatenate([o[2] for o in outs])
+    shape = (cfg.height, cfg.width)
+    return (albedo.reshape(shape + (3,)), normal.reshape(shape + (3,)),
+            depth.reshape(shape))
+
+
+def render_denoised(session: RenderSession, spp: int, blend: float = 1.0,
+                    integrator: str = "auto", iterations: int = 4):
+    """Render + edge-avoiding À-trous denoise (TPU-native replacement for
+    the reference's OptiX denoiser path; see ops/denoise.py). Returns
+    linear radiance (H, W, 3)."""
+    from fluctus_tpu.ops.denoise import atrous_denoise
+
+    img = jnp.asarray(render(session, spp, integrator=integrator))
+    albedo, normal, depth = render_aux(session)
+    out = atrous_denoise(img, albedo, normal, depth,
+                         iterations=iterations, blend=blend)
     return np.asarray(out)
 
 

@@ -131,11 +131,74 @@ def _tex_file(tex):
     return tex if isinstance(tex, str) else ""
 
 
-def load_pbrt(path: str):
+def load_pbrt(path: str, cache_dir: str | None = "data/pbf_cache"):
     """Parse a .pbrt file. Returns (v0,v1,v2,n0,n1,n2,uv0,uv1,uv2, mat_id,
     materials) — same contract as the OBJ loader (mat_id 0-based with +1
     shift applied by the caller convention: here ids already index
-    [default]+materials like OBJ's)."""
+    [default]+materials like OBJ's).
+
+    Parsed geometry+materials are cached as an npz keyed by the source
+    file's hash — the analogue of the reference's .pbrt -> .pbf binary
+    conversion cache (src/scene.cpp:555-620); unlike the reference, the
+    cache lives under cache_dir since scene sources may be read-only."""
+    if cache_dir:
+        cached = _load_cache(path, cache_dir)
+        if cached is not None:
+            return cached
+        result = _parse_pbrt(path)
+        _save_cache(path, cache_dir, result)
+        return result
+    return _parse_pbrt(path)
+
+
+def _cache_path(path: str, cache_dir: str) -> str:
+    from fluctus_tpu.scene.scene import file_hash
+    return os.path.join(cache_dir, f"pbf_{file_hash(path)}.npz")
+
+
+def _load_cache(path: str, cache_dir: str):
+    import dataclasses
+    f = _cache_path(path, cache_dir)
+    if not os.path.exists(f):
+        return None
+    try:
+        z = np.load(f, allow_pickle=False)
+        n_mats = int(z["n_mats"])
+        mats = []
+        for i in range(n_mats):
+            fields = {}
+            for fld in dataclasses.fields(MtlMaterial):
+                v = z[f"mat{i}_{fld.name}"]
+                if fld.type in ("str", str):
+                    fields[fld.name] = str(v)
+                elif fld.type in ("tuple", tuple):
+                    fields[fld.name] = tuple(float(x) for x in v)
+                elif fld.type in ("float", float):
+                    fields[fld.name] = float(v)
+                else:
+                    fields[fld.name] = int(v)
+            mats.append(MtlMaterial(**fields))
+        arrays = tuple(z[f"a{k}"] for k in range(10))
+        print(f"pbrt cache hit: {f}")
+        return arrays + (mats,)
+    except Exception as e:  # corrupt/stale cache -> reparse
+        print(f"pbrt cache unreadable ({e}); reparsing")
+        return None
+
+
+def _save_cache(path: str, cache_dir: str, result):
+    import dataclasses
+    os.makedirs(cache_dir, exist_ok=True)
+    arrays, mats = result[:10], result[10]
+    payload = {f"a{k}": a for k, a in enumerate(arrays)}
+    payload["n_mats"] = np.int32(len(mats))
+    for i, m in enumerate(mats):
+        for fld in dataclasses.fields(MtlMaterial):
+            payload[f"mat{i}_{fld.name}"] = np.asarray(getattr(m, fld.name))
+    np.savez(_cache_path(path, cache_dir), **payload)
+
+
+def _parse_pbrt(path: str):
     toks = _Tokens(path)
     ctm = np.eye(4)
     xform_stack = []

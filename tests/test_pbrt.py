@@ -79,3 +79,24 @@ WorldEnd
     glossy = [m for m in mats if m.bsdf_type == BXDF_GLOSSY][0]
     # reference convertRoughness: (1-0.1)*5000
     np.testing.assert_allclose(glossy.ns, 4500.0)
+
+
+def test_pbrt_parse_cache_roundtrip(tmp_path):
+    """Cached parse (reference .pbf analogue) returns identical data."""
+    f = tmp_path / "c.pbrt"
+    f.write_text("""
+WorldBegin
+Material "plastic" "rgb Kd" [.5 .4 .3] "rgb Ks" [.2 .2 .2] "float roughness" [0.2]
+Shape "trianglemesh" "point3 P" [0 0 0 1 0 0 0 1 0] "integer indices" [0 1 2]
+WorldEnd
+""")
+    cache = str(tmp_path / "cache")
+    fresh = load_pbrt(str(f), cache_dir=cache)
+    import os
+    assert any(n.startswith("pbf_") for n in os.listdir(cache))
+    cached = load_pbrt(str(f), cache_dir=cache)
+    for a, b in zip(fresh[:10], cached[:10]):
+        np.testing.assert_array_equal(a, b)
+    assert [m for m in fresh[10]] == [m for m in cached[10]] or all(
+        ma.kd == mb.kd and ma.ns == mb.ns and ma.bsdf_type == mb.bsdf_type
+        for ma, mb in zip(fresh[10], cached[10]))
