@@ -327,13 +327,11 @@ def render(scene: DeviceScene, params: RenderParams, cfg: RenderConfig,
 # because spawn COUNT is exact; RR only changes path length).
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("cfg", "spp", "k_slots"),
-         donate_argnums=(3, 4, 5, 6, 7))
-def stream_iteration(scene: DeviceScene, params: RenderParams,
-                     cfg: RenderConfig, state: PathState, slots: jnp.ndarray,
-                     out_rgb: jnp.ndarray, out_pix: jnp.ndarray,
-                     counters: jnp.ndarray, spp: int, k_slots: int):
-    """One streaming segment.
+def _stream_segment(scene: DeviceScene, params: RenderParams,
+                    cfg: RenderConfig, state: PathState, slots: jnp.ndarray,
+                    out_rgb: jnp.ndarray, out_pix: jnp.ndarray,
+                    counters: jnp.ndarray, spp: int, k_slots: int):
+    """One streaming segment (traced body; jit entry points below).
 
     slots: (pool,) u32 — lane's completed-sample count (its next free slot).
     out_rgb: (pool, K, 3); out_pix: (pool, K) i32 (-1 = empty).
@@ -387,6 +385,29 @@ def stream_iteration(scene: DeviceScene, params: RenderParams,
     return state, slots, out_rgb, out_pix, counters
 
 
+@partial(jax.jit, static_argnames=("cfg", "spp", "k_slots"),
+         donate_argnums=(3, 4, 5, 6, 7))
+def stream_iteration(scene, params, cfg, state, slots, out_rgb, out_pix,
+                     counters, spp: int, k_slots: int):
+    return _stream_segment(scene, params, cfg, state, slots, out_rgb,
+                           out_pix, counters, spp, k_slots)
+
+
+@partial(jax.jit, static_argnames=("cfg", "spp", "k_slots", "n_seg"),
+         donate_argnums=(3, 4, 5, 6, 7))
+def stream_rounds(scene, params, cfg, state, slots, out_rgb, out_pix,
+                  counters, spp: int, k_slots: int, n_seg: int):
+    """n_seg segments fused into ONE program (lax.scan) — amortizes launch
+    and donation overhead across the round."""
+    def body(carry, _):
+        state, slots, out_rgb, out_pix, counters = carry
+        return _stream_segment(scene, params, cfg, state, slots, out_rgb,
+                               out_pix, counters, spp, k_slots), None
+    carry, _ = jax.lax.scan(body, (state, slots, out_rgb, out_pix, counters),
+                            None, length=n_seg)
+    return carry
+
+
 def render_stream(scene: DeviceScene, params: RenderParams,
                   cfg: RenderConfig, spp: int, segments_per_launch: int = 4):
     """Render exactly `spp` samples/pixel with the streaming wavefront.
@@ -423,11 +444,10 @@ def render_stream(scene: DeviceScene, params: RenderParams,
     pending = []  # lagged drain checks: block on an OLD check while the
     #               newest launch is already queued (hides sync latency)
     while it < cap:
-        for _ in range(segments_per_launch):
-            state, slots, out_rgb, out_pix, counters = stream_iteration(
-                scene, params, cfg, state, slots, out_rgb, out_pix,
-                counters, spp, k_slots)
-            it += 1
+        state, slots, out_rgb, out_pix, counters = stream_rounds(
+            scene, params, cfg, state, slots, out_rgb, out_pix,
+            counters, spp, k_slots, segments_per_launch)
+        it += segments_per_launch
         pending.append(jnp.any(state.alive))
         if len(pending) >= 2 and not bool(pending.pop(0)):
             break
