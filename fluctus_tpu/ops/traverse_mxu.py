@@ -11,11 +11,28 @@ traverse_wide.py).
 
 This kernel makes the per-lane fetch DENSE instead: a gather of B rows from
 a T-row VMEM table is a one-hot matmul — onehot(cur_node) @ table on the
-MXU, which is exact for f32 values (each output is a sum with exactly one
-nonzero term). Tables are stored TRANSPOSED, (56, T) and (W*10, L), so the
-matmul result lands as (columns, BLK) and every per-lane scalar is a cheap
-static row slice. Child refs and triangle ids are stored as f32 *values*
-(exact for |id| < 2^24) so one matmul fetches boxes and refs together.
+MXU. Tables are stored TRANSPOSED, (rows, T) and (rows, L), so the matmul
+result lands as (rows, BLK) and every per-lane scalar is a cheap static row
+slice.
+
+Exactness under the MXU's bf16 multiply path: Mosaic lowers default f32
+dots on this hardware to a SINGLE bf16 pass, which truncates operands to 8
+mantissa bits (measured: 27% wrong-prim rays on teapot — child indices
+themselves were rounding). Rather than paying the ~6x multi-pass cost of
+precision=HIGHEST, the tables are stored as bf16 in encodings the single
+native pass gathers EXACTLY (a one-hot is bf16-exact, and the product of
+two bf16 values is exact in the f32 accumulator):
+
+  - child AABBs: conservatively rounded to bf16 (lo toward -inf, hi toward
+    +inf). A slab test against a widened box can only ADD node visits,
+    never skip a true intersection, so traversal results stay exact.
+  - child refs / triangle ids: split into 8-bit integer chunks, each in
+    [0, 255] and hence bf16-exact; reconstructed exactly in f32 by
+    chunk_hi*256 + chunk_lo (< 2^24).
+  - triangle vertices: exact 3-way bf16 split (Dekker-style): b1=bf16(x),
+    b2=bf16(x-b1), b3=x-b1-b2 which has <= 8 significant bits left and is
+    itself bf16-exact, so (b1+b2)+b3 reconstructs the f32 value bit-exactly
+    (modulo subnormals, which never occur in scene geometry).
 
 The traversal itself is the restart-trail scheme of traverse_wide.py
 (Laine 2010): per-lane current node + per-level consumed-slot bitmask +
@@ -42,8 +59,10 @@ from fluctus_tpu.core.types import WideBVH
 BLK = 512
 TRI_EPS = 1e-12
 BIG = 3.0e38
-# empty child-slot ref sentinel (f32-exact; valid refs are < 2^24)
-EMPTY_REF = -(1 << 25)
+# child-slot tags (bf16-exact small ints)
+TAG_INNER = 0.0
+TAG_LEAF = 1.0
+TAG_EMPTY = 2.0
 
 
 class Traversal(NamedTuple):
@@ -59,8 +78,10 @@ def _kernel(orig_ref, dir_ref, tmax_ref, nodes_ref, leaves_ref,
             blk: int, debug_steps: bool = False):
     f32 = jnp.float32
     i32 = jnp.int32
+    bf16 = jnp.bfloat16
     t_nodes = nodes_ref.shape[1]
     l_leaves = leaves_ref.shape[1]
+    vw = 9 * leaf_width  # rows per vertex-split plane
 
     ox = orig_ref[0, :]
     oy = orig_ref[1, :]
@@ -106,19 +127,21 @@ def _kernel(orig_ref, dir_ref, tmax_ref, nodes_ref, leaves_ref,
         if any_hit:
             act = act & (blocked == 0)
 
-        # ---- fetch node row: one-hot matmul gather (MXU)
+        # ---- fetch node row: one-hot matmul gather (MXU, bf16 single pass;
+        # exact by the table encoding, see module docstring)
         oh = (jax.lax.broadcasted_iota(i32, (t_nodes, blk), 0)
-              == cur[None, :]).astype(f32)
+              == cur[None, :]).astype(bf16)
         rows = jax.lax.dot_general(
             nodes_ref[:, :], oh, (((1,), (0,)), ((), ())),
-            preferred_element_type=f32)              # (56, BLK)
+            preferred_element_type=f32)              # (72, BLK)
 
         lvl_oh = lvl_iota == jnp.maximum(level, 0)[None, :]
         tr = jnp.sum(jnp.where(lvl_oh, trail, 0), axis=0)   # (BLK,)
 
         # ---- slab tests, 8 children, fully unrolled on (BLK,) vectors
         keys = []
-        refs = []
+        idxs = []
+        leafs = []
         for j in range(8):
             lox = rows[j * 6 + 0, :]
             loy = rows[j * 6 + 1, :]
@@ -138,11 +161,13 @@ def _kernel(orig_ref, dir_ref, tmax_ref, nodes_ref, leaves_ref,
             tmax = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
                                            jnp.maximum(t0y, t1y)),
                                jnp.maximum(t0z, t1z))
-            ref_j = rows[48 + j, :].astype(i32)
+            tag_j = rows[48 + j, :]
+            idx_j = rows[56 + j, :] * 256.0 + rows[64 + j, :]
             hit = (tmax >= 0.0) & (tmin <= tmax) & (tmin < best_t)
-            avail = hit & (((tr >> j) & 1) == 0) & (ref_j != EMPTY_REF)
+            avail = hit & (((tr >> j) & 1) == 0) & (tag_j != TAG_EMPTY)
             keys.append(jnp.where(avail, tmin, BIG))
-            refs.append(ref_j)
+            idxs.append(idx_j)
+            leafs.append(tag_j)
 
         # nearest available child per lane (unrolled min-selection)
         slot = jnp.zeros((blk,), i32)
@@ -157,11 +182,15 @@ def _kernel(orig_ref, dir_ref, tmax_ref, nodes_ref, leaves_ref,
         bitval = jnp.int32(1) << slot
         trail = jnp.where(lvl_oh & has[None, :], trail | bitval[None, :],
                           trail)
-        ref = refs[0]
+        idx_f = idxs[0]
+        tag_f = leafs[0]
         for j in range(1, 8):
-            ref = jnp.where(slot == j, refs[j], ref)
+            sel = slot == j
+            idx_f = jnp.where(sel, idxs[j], idx_f)
+            tag_f = jnp.where(sel, leafs[j], tag_f)
+        ref = idx_f.astype(i32)
+        is_leaf = tag_f == TAG_LEAF
 
-        is_leaf = ref < 0
         visit_leaf = has & is_leaf
         descend = has & ~is_leaf
         backtrack = act & ~has
@@ -173,24 +202,32 @@ def _kernel(orig_ref, dir_ref, tmax_ref, nodes_ref, leaves_ref,
         # scalar operands and pass-through else-branches alike.
         def leaf_phase(_):
             bt, bp, bu, bv, bl = best_t, best_prim, best_u, best_v, blocked
-            li = jnp.where(visit_leaf, ~ref, 0)
+            li = jnp.where(visit_leaf, ref, 0)
             oh_l = ((jax.lax.broadcasted_iota(i32, (l_leaves, blk), 0)
-                     == li[None, :]) & visit_leaf[None, :]).astype(f32)
+                     == li[None, :]) & visit_leaf[None, :]).astype(bf16)
             lrows = jax.lax.dot_general(
                 leaves_ref[:, :], oh_l, (((1,), (0,)), ((), ())),
-                preferred_element_type=f32)          # (W*10, BLK)
+                preferred_element_type=f32)          # (30*W, BLK)
             for slot_i in range(leaf_width):
-                c = slot_i * 10
-                ax = lrows[c + 0, :]
-                ay = lrows[c + 1, :]
-                az = lrows[c + 2, :]
-                e1x = lrows[c + 3, :]
-                e1y = lrows[c + 4, :]
-                e1z = lrows[c + 5, :]
-                e2x = lrows[c + 6, :]
-                e2y = lrows[c + 7, :]
-                e2z = lrows[c + 8, :]
-                tid = lrows[c + 9, :].astype(i32)
+                c = slot_i * 9
+
+                def val(k):
+                    # exact f32 reconstruction from the 3-way bf16 split
+                    return ((lrows[c + k, :] + lrows[vw + c + k, :])
+                            + lrows[2 * vw + c + k, :])
+
+                ax = val(0)
+                ay = val(1)
+                az = val(2)
+                e1x = val(3)
+                e1y = val(4)
+                e1z = val(5)
+                e2x = val(6)
+                e2y = val(7)
+                e2z = val(8)
+                tc = 3 * vw + slot_i * 3
+                tid = (lrows[tc, :] * 65536.0 + lrows[tc + 1, :] * 256.0
+                       + lrows[tc + 2, :]).astype(i32) - 1
                 px = dy * e2z - dz * e2y
                 py = dz * e2x - dx * e2z
                 pz = dx * e2y - dy * e2x
@@ -283,38 +320,100 @@ def _launch(orig_t, dir_t, tmax_row, nodes_t, leaves_t,
     )(orig_t, dir_t, tmax_row, nodes_t, leaves_t)
 
 
+def _trunc_bf16(x):
+    """f32 value with the mantissa truncated to bf16's 8 bits (round toward
+    zero), computed with INTEGER bit ops.
+
+    Why not x.astype(bf16).astype(f32): this toolchain compiles with
+    --xla_allow_excess_precision=true, which lets XLA ELIDE the
+    down-up convert pair — `x - f32(bf16(x))` folds to 0 and conservative
+    rounding checks silently pass. Bit masking cannot be elided."""
+    i = jax.lax.bitcast_convert_type(x, jnp.int32)
+    return jax.lax.bitcast_convert_type(i & jnp.int32(-65536), jnp.float32)
+
+
+def _bf16_conservative(x, up: bool):
+    """Round f32 -> bf16 toward +inf (up) or -inf (down): the result always
+    bounds x from the requested side, so quantized AABBs only widen.
+    Integer bit arithmetic throughout (see _trunc_bf16); stepping the
+    truncated pattern by 0x10000 moves one bf16 ulp away from zero, with
+    IEEE bit ordering carrying the exponent naturally (incl. up to inf)."""
+    i = jax.lax.bitcast_convert_type(x, jnp.int32)
+    masked = i & jnp.int32(-65536)
+    t = jax.lax.bitcast_convert_type(masked, jnp.float32)
+    inexact = (i & jnp.int32(65535)) != 0
+    away = (x > 0) == up  # the bound lies away from zero
+    stepped = jax.lax.bitcast_convert_type(masked + jnp.int32(65536),
+                                           jnp.float32)
+    out = jnp.where(inexact & away, stepped, t)
+    return out.astype(jnp.bfloat16)  # exact: out has only high-16 bits
+
+
+def _split3(x):
+    """Exact 3-way bf16 split: returns (b1, b2, b3) with
+    (f32(b1)+f32(b2))+f32(b3) == x bit-exactly (x normal f32; each residual
+    subtraction is exact, and the final 8-bit residual is bf16-exact).
+    Truncation-based (integer bit ops) so XLA's excess-precision pass
+    cannot fold the residuals to zero — see _trunc_bf16."""
+    b1 = _trunc_bf16(x)
+    r1 = x - b1
+    b2 = _trunc_bf16(r1)
+    r2 = r1 - b2
+    return (b1.astype(jnp.bfloat16), b2.astype(jnp.bfloat16),
+            r2.astype(jnp.bfloat16))
+
+
 @jax.jit
 def mxu_tables(bvh: WideBVH):
-    """Transpose tables and convert refs/ids to f32 VALUES for the one-hot
-    matmuls (exact for indices < 2^24; the node/leaf counts of any
-    VMEM-resident scene are far below that)."""
+    """Build the transposed bf16 gather tables (see module docstring):
+
+      nodes  (72, Tpad): rows 0..47 conservative child boxes
+                         rows 48..55 child tag (0 inner / 1 leaf / 2 empty)
+                         rows 56..63 child index high byte
+                         rows 64..71 child index low byte
+      leaves (30W, Lpad): rows [s*9W + slot*9 + k], s in 0..2 — vertex
+                         split planes; rows [27W + slot*3 + c] — (tid+1)
+                         byte chunks (pad rows are all-zero => tid -1).
+
+    Indices are byte-chunked so the single-pass bf16 matmul gathers them
+    exactly; callers guarantee node/leaf counts < 2^16 (fits_vmem bounds
+    them far lower)."""
     boxes = bvh.nodes[:, 0:48].reshape(-1, 8, 6)
     # empty child slots are +inf sentinels (accel/wide.py); a matmul gather
     # would turn them into NaN columns (0 * inf). Rewrite empty slots as far
     # finite point boxes (min/max slab tests ignore box inversion, so an
-    # inverted box would HIT everything) and tag their refs with an EMPTY
-    # sentinel the kernel excludes explicitly.
+    # inverted box would HIT everything) and tag them TAG_EMPTY.
     empty = ~jnp.isfinite(boxes[:, :, 0:1])
     far_point = jnp.full((6,), 3e37, jnp.float32)
-    boxes = jnp.where(empty, far_point, boxes).reshape(-1, 48)
+    boxes = jnp.where(empty, far_point, boxes)
+    lo_q = _bf16_conservative(boxes[:, :, 0:3], up=False)
+    hi_q = _bf16_conservative(boxes[:, :, 3:6], up=True)
+    boxes_q = jnp.concatenate([lo_q, hi_q], axis=2).reshape(-1, 48)
+
     refs = jax.lax.bitcast_convert_type(bvh.nodes[:, 48:56], jnp.int32)
-    refs = jnp.where(empty[:, :, 0], EMPTY_REF, refs)
-    nodes = jnp.concatenate([boxes, refs.astype(jnp.float32)], axis=1)
+    is_leaf = refs < 0
+    idx = jnp.where(is_leaf, ~refs, refs)
+    emp = empty[:, :, 0]
+    tag = jnp.where(emp, 2, jnp.where(is_leaf, 1, 0))
+    idx = jnp.where(emp, 0, idx)
+    extra = jnp.concatenate([tag, idx >> 8, idx & 255],
+                            axis=1).astype(jnp.bfloat16)
+    nodes = jnp.concatenate([boxes_q, extra], axis=1)      # (T, 72) bf16
     n_pad = (-nodes.shape[0]) % 128
     nodes = jnp.pad(nodes, ((0, n_pad), (0, 0)))
-    lv = bvh.leaves
-    ids = jax.lax.bitcast_convert_type(lv[:, :, 9], jnp.int32)
-    # pad rows carry id -1 so their zero triangles are rejected
-    leaves = lv.at[:, :, 9].set(ids.astype(jnp.float32))
-    leaves = leaves.reshape(lv.shape[0], -1)
+
+    lv = bvh.leaves                                         # (L, W, 10)
+    n_l, w = lv.shape[0], lv.shape[1]
+    b1, b2, b3 = _split3(lv[:, :, 0:9])
+    tid = jax.lax.bitcast_convert_type(lv[:, :, 9], jnp.int32)
+    enc = tid + 1                                           # pad slots -> 0
+    chunks = jnp.stack([enc >> 16, (enc >> 8) & 255, enc & 255],
+                       axis=2).astype(jnp.bfloat16)         # (L, W, 3)
+    leaves = jnp.concatenate(
+        [b1.reshape(n_l, -1), b2.reshape(n_l, -1), b3.reshape(n_l, -1),
+         chunks.reshape(n_l, -1)], axis=1)                  # (L, 30W) bf16
     l_pad = (-leaves.shape[0]) % 128
     leaves = jnp.pad(leaves, ((0, l_pad), (0, 0)))
-    if l_pad:
-        pad_ids = jnp.tile(
-            jnp.arange(10, dtype=jnp.float32)[None, :] == 9,
-            (l_pad, lv.shape[1]))
-        leaves = leaves.at[lv.shape[0]:, :].set(
-            jnp.where(pad_ids, -1.0, 0.0))
     return nodes.T, leaves.T
 
 
@@ -334,13 +433,19 @@ def _prep(orig, dir, t_max, blk):
 
 def fits_vmem(bvh: WideBVH, blk: int = BLK,
               budget_bytes: int = 10 << 20) -> bool:
-    """The kernel holds both transposed tables AND the (T, BLK)/(L, BLK)
+    """The kernel holds both transposed bf16 tables AND the (T, BLK)/(L, BLK)
     one-hot operands in VMEM; all four must fit."""
     t_pad = -(-bvh.nodes.shape[0] // 128) * 128
     l_pad = -(-bvh.leaves.shape[0] // 128) * 128
-    tables = (t_pad * 56 + l_pad * bvh.leaf_width * 10) * 4
-    onehots = (t_pad + l_pad) * blk * 4
+    tables = (t_pad * 72 + l_pad * bvh.leaf_width * 30) * 2
+    onehots = (t_pad + l_pad) * blk * 2
     return tables + onehots <= budget_bytes
+
+
+def _check_index_range(bvh: WideBVH):
+    # two byte chunks address node/leaf indices; three address (tid+1)
+    assert bvh.nodes.shape[0] < (1 << 16), "mxu: node count >= 2^16"
+    assert bvh.leaves.shape[0] < (1 << 16), "mxu: leaf count >= 2^16"
 
 
 def traverse_closest(bvh: WideBVH, orig, dir, t_max,
@@ -349,6 +454,7 @@ def traverse_closest(bvh: WideBVH, orig, dir, t_max,
         from fluctus_tpu.ops import traverse_wide
         r = traverse_wide.traverse_closest(bvh, orig, dir, t_max)
         return Traversal(r.t, r.prim, r.u, r.v)
+    _check_index_range(bvh)
     nodes_t, leaves_t = mxu_tables(bvh)
     orig_t, dir_t, t_row, b = _prep(orig, dir, t_max, blk)
     t, prim, u, v = _launch(orig_t, dir_t, t_row, nodes_t, leaves_t,
@@ -361,6 +467,7 @@ def traversal_steps(bvh: WideBVH, orig, dir, t_max,
                     blk: int = BLK) -> jnp.ndarray:
     """Per-block while-iteration counts (perf instrumentation; the cost
     model is sum-over-blocks of steps x per-step latency)."""
+    _check_index_range(bvh)
     nodes_t, leaves_t = mxu_tables(bvh)
     orig_t, dir_t, t_row, b = _prep(orig, dir, t_max, blk)
     _, _, _, v = _launch(orig_t, dir_t, t_row, nodes_t, leaves_t,
@@ -374,6 +481,7 @@ def traverse_any(bvh: WideBVH, orig, dir, t_max,
     if bvh.root_ref < 0:
         from fluctus_tpu.ops import traverse_wide
         return traverse_wide.traverse_any(bvh, orig, dir, t_max)
+    _check_index_range(bvh)
     nodes_t, leaves_t = mxu_tables(bvh)
     orig_t, dir_t, t_row, b = _prep(orig, dir, t_max, blk)
     _, prim, _, _ = _launch(orig_t, dir_t, t_row, nodes_t, leaves_t,

@@ -68,3 +68,66 @@ def test_mxu_leaf_root_falls_back(rng):
                               np.float32(1e30))
     t_ref, prim_ref, _, _ = cpu_ref.intersect_closest(v0, v1, v2, orig, dir)
     np.testing.assert_array_equal(np.asarray(res.prim) >= 0, prim_ref >= 0)
+
+
+def test_bf16_conservative_bounds(rng):
+    """Quantized box coords must bound the f32 value from the right side and
+    stay within one bf16 ulp."""
+    x = np.concatenate([
+        rng.normal(size=8192) * 10.0 ** rng.integers(-6, 6, size=8192),
+        np.array([0.0, -0.0, 3e37, -3e37, 1e-20, -1e-20])]).astype(np.float32)
+    xj = jnp.asarray(x)
+    lo = np.asarray(tm._bf16_conservative(xj, up=False).astype(jnp.float32))
+    hi = np.asarray(tm._bf16_conservative(xj, up=True).astype(jnp.float32))
+    assert (lo <= x).all()
+    assert (hi >= x).all()
+    span = np.maximum(np.abs(x) * 2.0 ** -7, 2e-38)
+    assert (x - lo <= span).all()
+    assert (hi - x <= span).all()
+
+
+def test_split3_exact(rng):
+    """The 3-way bf16 vertex split must reconstruct f32 bit-exactly."""
+    x = np.concatenate([
+        rng.normal(size=8192) * 10.0 ** rng.integers(-6, 6, size=8192),
+        np.array([0.0, -0.0, 1.0 + 2.0 ** -23, 3e37])]).astype(np.float32)
+    b1, b2, b3 = tm._split3(jnp.asarray(x))
+    rec = np.asarray((b1.astype(jnp.float32) + b2.astype(jnp.float32))
+                     + b3.astype(jnp.float32))
+    assert (rec == x).all()  # -0.0 == 0.0: zero sign may flip, value exact
+    nz = x != 0
+    np.testing.assert_array_equal(rec[nz].view(np.int32),
+                                  x[nz].view(np.int32))
+
+
+def test_mxu_tables_roundtrip(rng):
+    """Tags/indices/tri-ids survive the byte-chunk encoding exactly."""
+    v0, v1, v2 = random_tris(rng, m=500)
+    wbvh = make_wide(v0, v1, v2)
+    nodes_t, leaves_t = tm.mxu_tables(wbvh)
+    nodes = np.asarray(nodes_t.astype(jnp.float32)).T  # (Tpad, 72)
+    refs = np.asarray(wbvh.nodes[:, 48:56]).view(np.int32)
+    boxes = np.asarray(wbvh.nodes[:, 0:48]).reshape(-1, 8, 6)
+    n = refs.shape[0]
+    tag = nodes[:n, 48:56]
+    idx = nodes[:n, 56:64] * 256 + nodes[:n, 64:72]
+    empty = ~np.isfinite(boxes[:, :, 0])
+    is_leaf = (refs < 0) & ~empty
+    inner = (refs >= 0) & ~empty
+    assert (tag[empty] == 2).all()
+    assert (tag[is_leaf] == 1).all()
+    assert (tag[inner] == 0).all()
+    np.testing.assert_array_equal(idx[is_leaf], ~refs[is_leaf])
+    np.testing.assert_array_equal(idx[inner], refs[inner])
+    # leaf table: vertex reconstruction + tid chunks
+    lv = np.asarray(wbvh.leaves)
+    L, W = lv.shape[0], lv.shape[1]
+    lt = np.asarray(leaves_t.astype(jnp.float32)).T   # (Lpad, 30W)
+    vw = 9 * W
+    rec = lt[:L, 0:vw] + lt[:L, vw:2 * vw] + lt[:L, 2 * vw:3 * vw]
+    np.testing.assert_array_equal(rec.reshape(L, W, 9), lv[:, :, 0:9])
+    tids = lv[:, :, 9].view(np.int32)
+    ch = lt[:L, 3 * vw:].reshape(L, W, 3)
+    dec = (ch[:, :, 0] * 65536 + ch[:, :, 1] * 256
+           + ch[:, :, 2]).astype(np.int64) - 1
+    np.testing.assert_array_equal(dec, tids)
