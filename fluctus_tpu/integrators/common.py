@@ -187,13 +187,20 @@ def nee_env(scene, params, cfg, ctx, sh_orig, wi, types_mask, pix, samp,
     L = vm.normalize(L)
     len_l = 2.0 * params.world_radius * jnp.ones(wi.shape[0], jnp.float32)
 
-    sh_o, L_t = (sh_orig, L) if active is None else \
-        neutralize_rays(sh_orig, L, active)
-    blocked = _shadow_blocked(scene, params, cfg, sh_o, L_t, len_l,
-                              check_area_quad=True)
     f = bsdf_mod.bsdf_eval(ctx, wi, L, types_mask)
     cos_th = jnp.maximum(0.0, vm.dot(L, ctx.n))
     bsdf_pdf_w = jnp.maximum(0.0, bsdf_mod.bsdf_pdf(ctx, wi, L, types_mask))
+    # trace only lanes whose contribution can be nonzero: the env alias
+    # table samples the full sphere, so ~half the draws land below the
+    # shading hemisphere on diffuse surfaces — culling them before the
+    # occlusion trace halves shadow-traversal work at identical output
+    # (blocked only ever gates a zero contribution)
+    live = (cos_th > 0.0) & ~vm.is_zero(f) & (direct_pdf_w != 0.0)
+    if active is not None:
+        live = live & active
+    sh_o, L_t = neutralize_rays(sh_orig, L, live)
+    blocked = _shadow_blocked(scene, params, cfg, sh_o, L_t, len_l,
+                              check_area_quad=True)
     weight = jnp.float32(1.0)
     if cfg.sample_impl:
         weight = (direct_pdf_w * light_pick_prob) / jnp.maximum(
@@ -221,14 +228,17 @@ def nee_area(scene, params, cfg, ctx, sh_orig, wi, types_mask, pix, samp,
     len_l = dist * shorten
 
     cos_light = jnp.maximum(vm.dot(al.normal, -L), 0.0)
-    sh_o, L_t = (sh_orig, L) if active is None else \
-        neutralize_rays(sh_orig, L, active)
-    blocked = _shadow_blocked(scene, params, cfg, sh_o, L_t, len_l,
-                              check_area_quad=False)
     f = bsdf_mod.bsdf_eval(ctx, wi, L, types_mask)
     cos_th = jnp.maximum(0.0, vm.dot(L, ctx.n))
     direct_pdf_w = samplers.pdf_area_to_solid_angle(pdf_a, len_l, cos_light)
     bsdf_pdf_w = jnp.maximum(0.0, bsdf_mod.bsdf_pdf(ctx, wi, L, types_mask))
+    # cull zero-contribution lanes before the occlusion trace (see nee_env)
+    live = (cos_th > 0.0) & ~vm.is_zero(f) & (cos_light > 0.0)
+    if active is not None:
+        live = live & active
+    sh_o, L_t = neutralize_rays(sh_orig, L, live)
+    blocked = _shadow_blocked(scene, params, cfg, sh_o, L_t, len_l,
+                              check_area_quad=False)
     weight = jnp.float32(1.0)
     if cfg.sample_impl:
         weight = (direct_pdf_w * light_pick_prob) / jnp.maximum(

@@ -126,15 +126,18 @@ def _nee_single_light(scene, params, cfg, ctx, sh_orig, wi, types, pix, samp,
         pick_prob = jnp.where(pick_area, 1.0 - env_prob, pick_prob)
         valid = valid | (pick_area & (cos_light > 0.0))
 
-    # reference wf_shadowrays.cl checks the light quad on EVERY shadow ray
-    # (area-pick rays are shortened by 0.995 so they miss their own emitter)
-    blocked = common._shadow_blocked(scene, params, cfg, sh_orig, ldir,
-                                     jnp.maximum(llen, 1e-6),
-                                     check_area_quad=True)
-
     f = bsdf_mod.bsdf_eval(ctx, wi, ldir, types)
     cos_th = jnp.maximum(0.0, vm.dot(ldir, ctx.n))
     bsdf_pdf_w = jnp.maximum(0.0, bsdf_mod.bsdf_pdf(ctx, wi, ldir, types))
+    # cull zero-contribution lanes before the occlusion trace (~half of env
+    # alias draws land below the hemisphere; see common.nee_env). The
+    # reference wf_shadowrays.cl checks the light quad on EVERY shadow ray
+    # (area-pick rays are shortened by 0.995 so they miss their own emitter).
+    live = valid & (cos_th > 0.0) & ~vm.is_zero(f)
+    sh_o, ldir_t = common.neutralize_rays(sh_orig, ldir, live)
+    blocked = common._shadow_blocked(scene, params, cfg, sh_o, ldir_t,
+                                     jnp.maximum(llen, 1e-6),
+                                     check_area_quad=True)
     weight = jnp.float32(1.0)
     if cfg.sample_impl:
         weight = (direct_pdf_w * pick_prob) / jnp.maximum(

@@ -56,7 +56,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from fluctus_tpu.core.types import WideBVH
 
-BLK = 512
+# 128-lane blocks: the per-step cost is dominated by the full leaf-table
+# matmul (proportional to blk), so total work = sum over blocks of
+# blk * max_steps(block); smaller blocks bound divergence tighter
+# (measured 13% faster than 512 on incoherent egyptcat rays)
+BLK = 128
 TRI_EPS = 1e-12
 BIG = 3.0e38
 # child-slot tags (bf16-exact small ints)
