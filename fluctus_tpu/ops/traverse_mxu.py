@@ -34,12 +34,13 @@ two bf16 values is exact in the f32 accumulator):
     itself bf16-exact, so (b1+b2)+b3 reconstructs the f32 value bit-exactly
     (modulo subnormals, which never occur in scene geometry).
 
-The traversal itself is the restart-trail scheme of traverse_wide.py
-(Laine 2010): per-lane current node + per-level consumed-slot bitmask +
-parent chain, all updated with one-hot masks over the tiny static level
-axis — no dynamic per-lane indexing anywhere. Each lane visits exactly the
-nodes IT intersects (near-first, pruned by best-t), so a block's step count
-is max-over-lanes instead of union-over-lanes.
+The traversal itself is a per-lane near-first STACK (the TPU form of the
+reference's 64-entry local stack): pops and ordered pushes are one-hot
+masked writes over a small static row axis — no dynamic per-lane indexing
+anywhere. One step per node/leaf visit (a restart-trail variant measured
+~2-3 steps per visit from parent re-tests and backtracks); each lane
+visits exactly the nodes IT intersects (near-first, pruned by best-t), so
+a block's step count is max-over-lanes instead of union-over-lanes.
 
 Reference analogue: src/bvh.cl:234-310 per-thread stack traversal; this is
 its TPU-native form for divergent rays.
@@ -102,13 +103,21 @@ def _kernel(orig_ref, dir_ref, tmax_ref, nodes_ref, leaves_ref,
     iy = safe_inv(dy)
     iz = safe_inv(dz)
 
-    lvl_iota = jax.lax.broadcasted_iota(i32, (lvl, blk), 0)
+    # Per-lane traversal STACK (reference: the 64-entry local stack of
+    # src/bvh.cl:234-310). The earlier restart-trail form re-fetched and
+    # re-slab-tested a parent once per descended child plus one step per
+    # backtrack (~2-3 steps per node visit); the stack does exactly one
+    # step per node/leaf visit. Dynamic per-lane indexing is avoided the
+    # same way as everywhere else: pops/pushes are one-hot masked writes
+    # over the small static row axis. A descend pops 1 and pushes <= 8
+    # children, so worst-case occupancy is 7 per ancestor level + 8.
+    s_rows = -(-(7 * lvl + 9) // 8) * 8
+    stk_iota = jax.lax.broadcasted_iota(i32, (s_rows, blk), 0)
 
     init = (
-        jnp.full((blk,), root_ref, i32),          # cur
-        jnp.zeros((blk,), i32),                   # level (-1 = done)
-        jnp.zeros((lvl, blk), i32),               # trail
-        jnp.zeros((lvl, blk), i32),               # chain
+        jnp.ones((blk,), i32),                    # sp (root pre-pushed)
+        jnp.where(stk_iota == 0, root_ref, 0),    # stack: child encs
+        jnp.zeros((s_rows, blk), f32),            # stack: entry tmin keys
         tmax_ref[0, :],                           # best_t
         jnp.full((blk,), -1, i32),                # best_prim
         jnp.zeros((blk,), f32),                   # best_u
@@ -118,34 +127,42 @@ def _kernel(orig_ref, dir_ref, tmax_ref, nodes_ref, leaves_ref,
     )
 
     def cond(s):
-        level, blocked = s[1], s[8]
-        live = level >= 0
+        sp, blocked = s[0], s[7]
+        live = sp > 0
         if any_hit:
             live = jnp.logical_and(live, blocked == 0)
         return jnp.max(jnp.where(live, 1, 0)) > 0
 
     def body(s):
-        (cur, level, trail, chain, best_t, best_prim, best_u, best_v,
+        (sp, stk_ref, stk_key, best_t, best_prim, best_u, best_v,
          blocked, steps) = s
-        act = level >= 0
+        act = sp > 0
         if any_hit:
             act = act & (blocked == 0)
 
+        # ---- pop the nearest pending entry (stack top)
+        pop_oh = (stk_iota == (sp - 1)[None, :]) & act[None, :]
+        ref = jnp.sum(jnp.where(pop_oh, stk_ref, 0), axis=0)
+        key = jnp.sum(jnp.where(pop_oh, stk_key, 0.0), axis=0)
+        sp = sp - act.astype(i32)
+        # prune entries made stale by best-t improvements since push time
+        live = act & (key < best_t)
+        is_leaf = ref < 0
+        do_node = live & ~is_leaf
+        visit_leaf = live & is_leaf
+
         # ---- fetch node row: one-hot matmul gather (MXU, bf16 single pass;
         # exact by the table encoding, see module docstring)
-        oh = (jax.lax.broadcasted_iota(i32, (t_nodes, blk), 0)
-              == cur[None, :]).astype(bf16)
+        cur = jnp.where(do_node, ref, 0)
+        oh = ((jax.lax.broadcasted_iota(i32, (t_nodes, blk), 0)
+               == cur[None, :]) & do_node[None, :]).astype(bf16)
         rows = jax.lax.dot_general(
             nodes_ref[:, :], oh, (((1,), (0,)), ((), ())),
             preferred_element_type=f32)              # (72, BLK)
 
-        lvl_oh = lvl_iota == jnp.maximum(level, 0)[None, :]
-        tr = jnp.sum(jnp.where(lvl_oh, trail, 0), axis=0)   # (BLK,)
-
         # ---- slab tests, 8 children, fully unrolled on (BLK,) vectors
         keys = []
-        idxs = []
-        leafs = []
+        encs = []
         for j in range(8):
             lox = rows[j * 6 + 0, :]
             loy = rows[j * 6 + 1, :]
@@ -166,38 +183,33 @@ def _kernel(orig_ref, dir_ref, tmax_ref, nodes_ref, leaves_ref,
                                            jnp.maximum(t0y, t1y)),
                                jnp.maximum(t0z, t1z))
             tag_j = rows[48 + j, :]
-            idx_j = rows[56 + j, :] * 256.0 + rows[64 + j, :]
+            idx_j = (rows[56 + j, :] * 256.0 + rows[64 + j, :]).astype(i32)
             hit = (tmax >= 0.0) & (tmin <= tmax) & (tmin < best_t)
-            avail = hit & (((tr >> j) & 1) == 0) & (tag_j != TAG_EMPTY)
+            avail = do_node & hit & (tag_j != TAG_EMPTY)
             keys.append(jnp.where(avail, tmin, BIG))
-            idxs.append(idx_j)
-            leafs.append(tag_j)
+            encs.append(jnp.where(tag_j == TAG_LEAF, ~idx_j, idx_j))
 
-        # nearest available child per lane (unrolled min-selection)
-        slot = jnp.zeros((blk,), i32)
-        kmin = keys[0]
+        # ---- push hit children farthest-first so the nearest pops next:
+        # rank r_j = count of valid children strictly deeper (larger key,
+        # index tie-break); child j lands at stack row sp + r_j
+        valid = [k < BIG for k in keys]
+        for j in range(8):
+            r = jnp.zeros((blk,), i32)
+            for k in range(8):
+                if k == j:
+                    continue
+                # ties pop smallest child index first (matches the old
+                # min-selection order): larger-index ties count as deeper
+                deeper = (keys[k] >= keys[j]) if k > j else \
+                    (keys[k] > keys[j])
+                r = r + (valid[k] & deeper).astype(i32)
+            w_oh = (stk_iota == (sp + r)[None, :]) & valid[j][None, :]
+            stk_ref = jnp.where(w_oh, encs[j][None, :], stk_ref)
+            stk_key = jnp.where(w_oh, keys[j][None, :], stk_key)
+        n_push = valid[0].astype(i32)
         for j in range(1, 8):
-            take = keys[j] < kmin
-            slot = jnp.where(take, j, slot)
-            kmin = jnp.where(take, keys[j], kmin)
-        has = act & (kmin < BIG)
-
-        # consume chosen slot in this level's trail mask
-        bitval = jnp.int32(1) << slot
-        trail = jnp.where(lvl_oh & has[None, :], trail | bitval[None, :],
-                          trail)
-        idx_f = idxs[0]
-        tag_f = leafs[0]
-        for j in range(1, 8):
-            sel = slot == j
-            idx_f = jnp.where(sel, idxs[j], idx_f)
-            tag_f = jnp.where(sel, leafs[j], tag_f)
-        ref = idx_f.astype(i32)
-        is_leaf = tag_f == TAG_LEAF
-
-        visit_leaf = has & is_leaf
-        descend = has & ~is_leaf
-        backtrack = act & ~has
+            n_push = n_push + valid[j].astype(i32)
+        sp = sp + n_push
 
         # ---- leaf: one-hot matmul gather + dense Möller over W slots.
         # Runs unconditionally: wrapping it in lax.cond (to skip steps where
@@ -206,7 +218,7 @@ def _kernel(orig_ref, dir_ref, tmax_ref, nodes_ref, leaves_ref,
         # scalar operands and pass-through else-branches alike.
         def leaf_phase(_):
             bt, bp, bu, bv, bl = best_t, best_prim, best_u, best_v, blocked
-            li = jnp.where(visit_leaf, ref, 0)
+            li = jnp.where(visit_leaf, ~ref, 0)  # leaf encs are negative
             oh_l = ((jax.lax.broadcasted_iota(i32, (l_leaves, blk), 0)
                      == li[None, :]) & visit_leaf[None, :]).astype(bf16)
             lrows = jax.lax.dot_general(
@@ -261,24 +273,11 @@ def _kernel(orig_ref, dir_ref, tmax_ref, nodes_ref, leaves_ref,
 
         best_t, best_prim, best_u, best_v, blocked = leaf_phase(steps)
 
-        # ---- descend: record parent, clear the child level's trail
-        chain = jnp.where(lvl_oh & descend[None, :], cur[None, :], chain)
-        next_oh = lvl_iota == (level + 1)[None, :]
-        trail = jnp.where(next_oh & descend[None, :], 0, trail)
-        cur = jnp.where(descend, ref, cur)
-        level = jnp.where(descend, level + 1, level)
-
-        # ---- backtrack: pop a level, restore parent from the chain
-        level = jnp.where(backtrack, level - 1, level)
-        parent_oh = lvl_iota == jnp.maximum(level, 0)[None, :]
-        parent = jnp.sum(jnp.where(parent_oh, chain, 0), axis=0)
-        cur = jnp.where(backtrack & (level >= 0), parent, cur)
-
-        return (cur, level, trail, chain, best_t, best_prim, best_u,
+        return (sp, stk_ref, stk_key, best_t, best_prim, best_u,
                 best_v, blocked, steps + 1)
 
     s = jax.lax.while_loop(cond, body, init)
-    _, _, _, _, best_t, best_prim, best_u, best_v, blocked, steps = s
+    _, _, _, best_t, best_prim, best_u, best_v, blocked, steps = s
     out_t[0, :] = best_t
     out_prim[0, :] = blocked if any_hit else best_prim
     out_u[0, :] = best_u
