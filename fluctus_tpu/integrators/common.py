@@ -65,8 +65,23 @@ def _pallas_any(scene, orig, dir, lens):
 
 
 def _mxu_ok(scene: DeviceScene) -> bool:
-    return (not scene.wforest) and scene.wbvh.root_ref >= 0 \
-        and traverse_mxu.fits_vmem(scene.wbvh)
+    if scene.wforest:
+        return traverse_mxu.forest_fits_vmem(scene.wforest)
+    return scene.wbvh.root_ref >= 0 and traverse_mxu.fits_vmem(scene.wbvh)
+
+
+def _mxu_closest(scene, orig, dir, t_max):
+    if scene.wforest:
+        return traverse_mxu.traverse_closest_forest(
+            scene.wforest, scene.wforest_maps, orig, dir, t_max)
+    return traverse_mxu.traverse_closest(scene.wbvh, orig, dir, t_max)
+
+
+def _mxu_any(scene, orig, dir, lens):
+    if scene.wforest:
+        return traverse_mxu.traverse_any_forest(scene.wforest, orig, dir,
+                                                lens)
+    return traverse_mxu.traverse_any(scene.wbvh, orig, dir, lens)
 
 
 def trace_scene(scene: DeviceScene, params: RenderParams, cfg: RenderConfig,
@@ -85,7 +100,7 @@ def trace_scene(scene: DeviceScene, params: RenderParams, cfg: RenderConfig,
     elif cfg.backend == "packed":
         tr = traverse_packed.traverse_closest(scene.pbvh, orig, dir, T_MAX)
     elif cfg.backend == "mxu" and _mxu_ok(scene):
-        tr = traverse_mxu.traverse_closest(scene.wbvh, orig, dir, T_MAX)
+        tr = _mxu_closest(scene, orig, dir, T_MAX)
     elif cfg.backend in ("pallas", "mxu"):
         tr = _pallas_closest(scene, orig, dir, T_MAX)
     else:
@@ -153,7 +168,7 @@ def _shadow_blocked(scene, params, cfg, orig, ldir, lens, check_area_quad):
     elif cfg.backend == "packed":
         blocked = traverse_packed.traverse_any(scene.pbvh, orig, ldir, lens)
     elif cfg.backend == "mxu" and _mxu_ok(scene):
-        blocked = traverse_mxu.traverse_any(scene.wbvh, orig, ldir, lens)
+        blocked = _mxu_any(scene, orig, ldir, lens)
     elif cfg.backend in ("pallas", "mxu"):
         blocked = _pallas_any(scene, orig, ldir,
                               lens * jnp.ones(orig.shape[0], jnp.float32))

@@ -491,3 +491,80 @@ def traverse_any(bvh: WideBVH, orig, dir, t_max,
                             int(bvh.root_ref), int(bvh.leaf_width),
                             int(bvh.depth) + 1, True, blk)
     return prim[0, :b] > 0
+
+
+def _chunk_closest(bvh: WideBVH, orig, dir, t_vec, blk: int) -> Traversal:
+    """Closest hit against one treelet with a per-lane t_max vector."""
+    if bvh.root_ref < 0:
+        from fluctus_tpu.ops import traverse_wide
+        r = traverse_wide.traverse_closest(bvh, orig, dir, t_vec)
+        return Traversal(r.t, r.prim, r.u, r.v)
+    _check_index_range(bvh)
+    nodes_t, leaves_t = mxu_tables(bvh)
+    orig_t, dir_t, t_row, b = _prep(orig, dir, t_vec, blk)
+    t, prim, u, v = _launch(orig_t, dir_t, t_row, nodes_t, leaves_t,
+                            int(bvh.root_ref), int(bvh.leaf_width),
+                            int(bvh.depth) + 1, False, blk)
+    return Traversal(t[0, :b], prim[0, :b], u[0, :b], v[0, :b])
+
+
+def traverse_closest_forest(chunks, prim_maps, orig, dir, t_max,
+                            blk: int = BLK) -> Traversal:
+    """Closest hit over a forest of VMEM-sized treelets with per-lane
+    traversal: each chunk runs the stack kernel, threading the running
+    best-t as the next chunk's t_max (chunk order prunes like near-first
+    traversal; a lane whose ray misses a chunk's root exits that chunk in
+    one step). Beyond-VMEM counterpart of traverse_closest; the packet
+    forest (traverse_pallas.traverse_closest_forest) remains the coherent
+    alternative. prim_maps[i] maps chunk-local triangle ids to global."""
+    b = orig.shape[0]
+    best = Traversal(
+        t=jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (b,)),
+        prim=jnp.full((b,), -1, jnp.int32),
+        u=jnp.zeros((b,), jnp.float32),
+        v=jnp.zeros((b,), jnp.float32))
+    for wb, pmap in zip(chunks, prim_maps):
+        r = _chunk_closest(wb, orig, dir, best.t, blk)
+        got = r.prim >= 0
+        gprim = pmap[jnp.maximum(r.prim, 0)]
+        best = Traversal(
+            t=jnp.where(got, r.t, best.t),
+            prim=jnp.where(got, gprim, best.prim),
+            u=jnp.where(got, r.u, best.u),
+            v=jnp.where(got, r.v, best.v))
+    return best
+
+
+def traverse_any_forest(chunks, orig, dir, t_max,
+                        blk: int = BLK) -> jnp.ndarray:
+    """Any-hit over a treelet forest: shorten subsequent chunks' rays to
+    zero once blocked (a blocked lane exits later chunks in one step)."""
+    b = orig.shape[0]
+    lens = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (b,))
+    blocked = jnp.zeros((b,), bool)
+    for wb in chunks:
+        cur_len = jnp.where(blocked, 0.0, lens)
+        if wb.root_ref < 0:
+            from fluctus_tpu.ops import traverse_wide
+            blocked = blocked | traverse_wide.traverse_any(wb, orig, dir,
+                                                           cur_len)
+            continue
+        _check_index_range(wb)
+        nodes_t, leaves_t = mxu_tables(wb)
+        orig_t, dir_t, t_row, _ = _prep(orig, dir, cur_len, blk)
+        _, prim, _, _ = _launch(orig_t, dir_t, t_row, nodes_t, leaves_t,
+                                int(wb.root_ref), int(wb.leaf_width),
+                                int(wb.depth) + 1, True, blk)
+        blocked = blocked | (prim[0, :b] > 0)
+    return blocked
+
+
+def forest_fits_vmem(chunks, blk: int = BLK,
+                     budget_bytes: int = 10 << 20) -> bool:
+    """Every treelet's tables + one-hots must fit the kernel budget (and
+    its byte-chunked indices must stay addressable)."""
+    return all(wb.root_ref < 0
+               or (fits_vmem(wb, blk, budget_bytes)
+                   and wb.nodes.shape[0] < (1 << 16)
+                   and wb.leaves.shape[0] < (1 << 16))
+               for wb in chunks)

@@ -131,3 +131,33 @@ def test_mxu_tables_roundtrip(rng):
     dec = (ch[:, :, 0] * 65536 + ch[:, :, 1] * 256
            + ch[:, :, 2]).astype(np.int64) - 1
     np.testing.assert_array_equal(dec, tids)
+
+
+def test_mxu_forest_matches_oracle(rng, interp):
+    """Treelet-forest per-lane traversal (beyond-VMEM path) vs oracle."""
+    from fluctus_tpu.accel.wide import build_wide_forest
+    v0, v1, v2 = random_tris(rng, m=800)
+    # tiny budget forces several chunks
+    forests, maps = build_wide_forest(v0, v1, v2, bvh_mod.build_bvh,
+                                      budget_bytes=25_000)
+    assert len(forests) >= 3
+    chunks = tuple(
+        WideBVH(nodes=jnp.asarray(w.nodes), leaves=jnp.asarray(w.leaves),
+                root_ref=int(w.root_ref), depth=int(w.depth),
+                leaf_width=int(w.leaves.shape[1])) for w in forests)
+    pmaps = tuple(jnp.asarray(m) for m in maps)
+    orig, dir = random_rays(rng, b=512)
+    res = tm.traverse_closest_forest(chunks, pmaps, jnp.asarray(orig),
+                                     jnp.asarray(dir), np.float32(1e30),
+                                     blk=128)
+    t_ref, prim_ref, _, _ = cpu_ref.intersect_closest(v0, v1, v2, orig, dir)
+    np.testing.assert_array_equal(np.asarray(res.prim) >= 0, prim_ref >= 0)
+    hit = prim_ref >= 0
+    np.testing.assert_allclose(np.asarray(res.t)[hit], t_ref[hit],
+                               rtol=1e-4, atol=1e-5)
+    t_max = np.full(len(orig), 2.0, np.float32)
+    blocked = tm.traverse_any_forest(chunks, jnp.asarray(orig),
+                                     jnp.asarray(dir), jnp.asarray(t_max),
+                                     blk=128)
+    ref = cpu_ref.intersect_any(v0, v1, v2, orig, dir, t_max)
+    np.testing.assert_array_equal(np.asarray(blocked), ref)
