@@ -318,8 +318,11 @@ def render(scene: DeviceScene, params: RenderParams, cfg: RenderConfig,
 # pool), so the reference's per-segment scatter splat is hostile to the
 # hardware. This driver keeps the reference's striding-respawn pool (perfect
 # load balance, wf_raygen.cl:25) but removes every scatter:
-#   * each lane accumulates its completed samples into a PRIVATE slot buffer
-#     (pool, K, 3) via a dense one-hot over the tiny static slot axis;
+#   * each segment EMITS its completed samples as dense per-lane rows —
+#     scan outputs (r, g, b, pixel_id), written exactly once — instead of
+#     read-modify-writing any carried accumulation buffer (a lane-private
+#     slot buffer costs a full buffer read+write per segment; measured
+#     ~4 ms/segment at 9M slots);
 #   * exact-spp spawning means every pixel receives exactly spp samples, so
 #     one argsort by pixel id at the end lines samples up in contiguous
 #     groups of spp -> binning is a reshape-sum. Sorts and gathers are fast
@@ -331,14 +334,14 @@ def render(scene: DeviceScene, params: RenderParams, cfg: RenderConfig,
 # ---------------------------------------------------------------------------
 
 def _stream_segment(scene: DeviceScene, params: RenderParams,
-                    cfg: RenderConfig, state: PathState, slots: jnp.ndarray,
-                    out_rgb: jnp.ndarray, out_pix: jnp.ndarray,
-                    counters: jnp.ndarray, spp: int, k_slots: int):
+                    cfg: RenderConfig, state: PathState,
+                    counters: jnp.ndarray, spp: int):
     """One streaming segment (traced body; jit entry points below).
 
-    slots: (pool,) u32 — lane's completed-sample count (its next free slot).
-    out_rgb: (pool, K, 3); out_pix: (pool, K) i32 (-1 = empty).
-    counters: [spawn_counter, ext_rays, shadow_rays] uint32."""
+    counters: [spawn_counter, ext_rays, shadow_rays] uint32.
+    Returns (state, counters, (r, g, b, pix)) where the last element is the
+    segment's completed-sample row: (pool,) each, pix = -1 where the lane
+    finished no sample this segment."""
     n_pix = cfg.width * cfg.height
     target = jnp.uint32(n_pix * spp)
     active = state.alive
@@ -348,21 +351,16 @@ def _stream_segment(scene: DeviceScene, params: RenderParams,
     terminate = terminate & active
     done = terminate & (path_len > 0)
 
-    # --- splat into the lane-private slot buffer (dense one-hot over K)
-    slot_oh = (slots[:, None] == jnp.arange(k_slots, dtype=jnp.uint32)) \
-        & done[:, None]                                     # (pool, K)
-    out_rgb = out_rgb + slot_oh[:, :, None] * ei[:, None, :]
-    out_pix = jnp.where(slot_oh, state.pixel_index[:, None].astype(jnp.int32),
-                        out_pix)
-    slots = slots + done.astype(jnp.uint32)
+    # --- emit this segment's completed samples as dense write-once rows
+    row_pix = jnp.where(done, state.pixel_index.astype(jnp.int32), -1)
+    row_r = jnp.where(done, ei[:, 0], 0.0)
+    row_g = jnp.where(done, ei[:, 1], 0.0)
+    row_b = jnp.where(done, ei[:, 2], 0.0)
 
-    # --- striding respawn with an exact global spawn budget; lanes whose
-    # slot buffer is full decline (the unconsumed spawn id goes to another
-    # lane in a later segment)
-    eligible = terminate & (slots < k_slots)
-    rank = jnp.cumsum(eligible.astype(jnp.uint32)) - eligible
+    # --- striding respawn with an exact global spawn budget
+    rank = jnp.cumsum(terminate.astype(jnp.uint32)) - terminate
     new_spawn = counters[0] + rank
-    can_spawn = eligible & (new_spawn < target)
+    can_spawn = terminate & (new_spawn < target)
     n_spawned = jnp.sum(can_spawn.astype(jnp.uint32))
     new_pix = jnp.where(can_spawn, new_spawn % n_pix, 0)
     new_samp = jnp.where(can_spawn, new_spawn // n_pix, 0)
@@ -385,43 +383,36 @@ def _stream_segment(scene: DeviceScene, params: RenderParams,
     counters = counters.at[0].add(n_spawned)
     counters = counters.at[1].add(n_act)
     counters = counters.at[2].add(n_act)
-    return state, slots, out_rgb, out_pix, counters
+    return state, counters, (row_r, row_g, row_b, row_pix)
 
 
-@partial(jax.jit, static_argnames=("cfg", "spp", "k_slots"),
-         donate_argnums=(3, 4, 5, 6, 7))
-def stream_iteration(scene, params, cfg, state, slots, out_rgb, out_pix,
-                     counters, spp: int, k_slots: int):
-    return _stream_segment(scene, params, cfg, state, slots, out_rgb,
-                           out_pix, counters, spp, k_slots)
+@partial(jax.jit, static_argnames=("cfg", "spp"), donate_argnums=(3, 4))
+def stream_iteration(scene, params, cfg, state, counters, spp: int):
+    return _stream_segment(scene, params, cfg, state, counters, spp)
 
 
-@partial(jax.jit, static_argnames=("cfg", "spp", "k_slots", "n_seg"),
-         donate_argnums=(3, 4, 5, 6, 7))
-def stream_rounds(scene, params, cfg, state, slots, out_rgb, out_pix,
-                  counters, spp: int, k_slots: int, n_seg: int):
+@partial(jax.jit, static_argnames=("cfg", "spp", "n_seg"),
+         donate_argnums=(3, 4))
+def stream_rounds(scene, params, cfg, state, counters, spp: int, n_seg: int):
     """n_seg segments fused into ONE program (lax.scan) — amortizes launch
-    and donation overhead across the round."""
+    and donation overhead across the round. Returns the stacked
+    (n_seg, pool) sample rows as scan outputs (written once each)."""
     def body(carry, _):
-        state, slots, out_rgb, out_pix, counters = carry
-        return _stream_segment(scene, params, cfg, state, slots, out_rgb,
-                               out_pix, counters, spp, k_slots), None
-    carry, _ = jax.lax.scan(body, (state, slots, out_rgb, out_pix, counters),
-                            None, length=n_seg)
-    return carry
+        state, counters = carry
+        state, counters, rows = _stream_segment(scene, params, cfg, state,
+                                                counters, spp)
+        return (state, counters), rows
+    carry, rows = jax.lax.scan(body, (state, counters), None, length=n_seg)
+    return carry[0], carry[1], rows
 
 
 def render_stream(scene: DeviceScene, params: RenderParams,
-                  cfg: RenderConfig, spp: int, segments_per_launch: int = 4):
+                  cfg: RenderConfig, spp: int, segments_per_launch: int = 8):
     """Render exactly `spp` samples/pixel with the streaming wavefront.
     Returns ((H, W, 3) image, counters [spawns, ext_rays, shadow_rays])."""
     n_pix = cfg.width * cfg.height
     pool = min(cfg.pool_size, n_pix * spp)
     total = n_pix * spp
-    # K bound: pool*k_slots >= 2*total guarantees the drain cannot deadlock
-    # (a full lane declines respawns; all-lanes-full would need 2*total
-    # completed samples, which exceeds the exact spawn budget)
-    k_slots = int(2 * ((total + pool - 1) // pool) + 16)
 
     lane = jnp.arange(pool, dtype=jnp.uint32)
     orig, dir = _raygen(params, cfg, lane % n_pix, lane // n_pix)
@@ -436,37 +427,49 @@ def render_stream(scene: DeviceScene, params: RenderParams,
         last_specular=jnp.ones((pool,), bool),
         alive=jnp.ones((pool,), bool),
     )
-    slots = jnp.zeros((pool,), jnp.uint32)
-    out_rgb = jnp.zeros((pool, k_slots, 3), jnp.float32)
-    out_pix = jnp.full((pool, k_slots), -1, jnp.int32)
     counters = jnp.zeros((3,), jnp.uint32)
     counters = counters.at[0].set(pool)  # pre-spawned
 
-    cap = k_slots * (cfg.max_bounces + 1) * 2 + 32
+    # every segment either completes >= 1 sample or advances every live path
+    # one bounce; RR extends past max_bounces with survival prob <= 0.5
+    cap = (total // pool + cfg.max_bounces + 2) * 8 + 64
     it = 0
+    chunks = []
     pending = []  # lagged drain checks: block on an OLD check while the
     #               newest launch is already queued (hides sync latency)
     while it < cap:
-        state, slots, out_rgb, out_pix, counters = stream_rounds(
-            scene, params, cfg, state, slots, out_rgb, out_pix,
-            counters, spp, k_slots, segments_per_launch)
+        state, counters, rows = stream_rounds(
+            scene, params, cfg, state, counters, spp, segments_per_launch)
+        chunks.append(rows)
         it += segments_per_launch
         pending.append(jnp.any(state.alive))
         if len(pending) >= 2 and not bool(pending.pop(0)):
             break
 
-    done_samples = int(jnp.sum(slots))
-    if done_samples != total:
-        raise RuntimeError(
-            f"stream drain incomplete: {done_samples}/{total} samples "
-            f"(cap {cap}, k_slots {k_slots})")
-
     # --- scatter-free binning: sort by pixel, reshape-sum groups of spp
-    flat_pix = out_pix.reshape(-1)
-    flat_rgb = out_rgb.reshape(-1, 3)
-    # invalid slots (-1) sort to the back via unsigned keys
-    keys = flat_pix.astype(jnp.uint32)
-    order = jnp.argsort(keys)
-    rgb_sorted = flat_rgb[order]
-    img = rgb_sorted[: total].reshape(n_pix, spp, 3).sum(axis=1) / spp
+    img, n_done = _bin_rows(
+        tuple(jnp.concatenate([c[i].reshape(-1) for c in chunks])
+              for i in range(4)), n_pix, spp)
+    if int(n_done) != total:
+        raise RuntimeError(
+            f"stream drain incomplete: {int(n_done)}/{total} samples "
+            f"(cap {cap})")
     return img.reshape(cfg.height, cfg.width, 3), counters
+
+
+@partial(jax.jit, static_argnames=("n_pix", "spp"))
+def _bin_rows(rows, n_pix: int, spp: int):
+    """Sort emitted sample rows by pixel id; empty rows (pix=-1) sort to the
+    back as 0xFFFFFFFF. Exact spp => the first n_pix*spp sorted entries are
+    contiguous per-pixel groups of spp -> reshape-sum."""
+    r, g, b, pix = rows
+    keys = pix.astype(jnp.uint32)
+    order = jnp.argsort(keys)
+    total = n_pix * spp
+    take = order[:total]
+    img = jnp.stack([r[take].reshape(n_pix, spp).sum(axis=1),
+                     g[take].reshape(n_pix, spp).sum(axis=1),
+                     b[take].reshape(n_pix, spp).sum(axis=1)],
+                    axis=1) / spp
+    n_done = jnp.sum((keys != jnp.uint32(0xFFFFFFFF)).astype(jnp.uint32))
+    return img, n_done
