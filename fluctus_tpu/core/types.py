@@ -108,12 +108,20 @@ class PackedBVH:
 class WideBVH:
     """8-ary fat-leaf traversal layout (see accel/wide.py). root_ref/depth/
     leaf_width are static (per-scene jit specialization, like the reference's
-    per-scene kernel defines)."""
+    per-scene kernel defines).
+
+    mxu_nodes_t/mxu_leaves_t: optional precomputed transposed bf16 gather
+    tables for the MXU traversal kernel (ops/traverse_mxu.mxu_tables).
+    Built once at scene upload; without them the encode (rounding, splits,
+    transposes) is retraced INSIDE every render program — measured as a
+    per-segment cost in the wavefront loop."""
     nodes: jnp.ndarray    # (N, 56) f32
     leaves: jnp.ndarray   # (L, W, 10) f32
     root_ref: int = struct.field(pytree_node=False, default=0)
     depth: int = struct.field(pytree_node=False, default=8)
     leaf_width: int = struct.field(pytree_node=False, default=16)
+    mxu_nodes_t: jnp.ndarray | None = None
+    mxu_leaves_t: jnp.ndarray | None = None
 
 
 @struct.dataclass

@@ -57,11 +57,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from fluctus_tpu.core.types import WideBVH
 
-# 128-lane blocks: the per-step cost is dominated by the full leaf-table
-# matmul (proportional to blk), so total work = sum over blocks of
-# blk * max_steps(block); smaller blocks bound divergence tighter
-# (measured 13% faster than 512 on incoherent egyptcat rays)
-BLK = 128
+# Block size trades divergence (total work = sum over blocks of
+# blk * max_steps(block)) against sublane utilization of the (8, blk)
+# child/slot tiles and amortization of per-step (blk,) scalar phases.
+# With the component-major tables, 1024 measured fastest on both coherent
+# and incoherent teapot rays (128: 12.0/4.1 ms per 131k rays, 1024:
+# 8.4/3.5 ms); pre-rewrite the ordering was reversed.
+BLK = 1024
 TRI_EPS = 1e-12
 BIG = 3.0e38
 # child-slot tags (bf16-exact small ints)
@@ -77,6 +79,21 @@ class Traversal(NamedTuple):
     v: jnp.ndarray
 
 
+# Stack entries pack (pruning key | tag | index) into ONE i32:
+#   bits 31..17: top 15 bits of the f32 entry tmin (clamped to >= 0, so the
+#                sign bit is 0 and integer order == float order; truncation
+#                only LOWERS the pruning key, which is conservative)
+#   bit  16    : leaf flag
+#   bits 15..0 : node/leaf index (< 2^16, enforced by _check_index_range)
+# One packed stack halves the push/pop masked-write traffic vs separate
+# ref + key planes, and rank ordering compares packed ints directly
+# (distinct children always differ in the low 17 bits, so no tie logic).
+_KEY_MASK = -0x20000       # 0xFFFE0000
+_LEAF_BIT = 0x10000
+_IDX_MASK = 0xFFFF
+_INVALID = 0x7FFFFFFF
+
+
 def _kernel(orig_ref, dir_ref, tmax_ref, nodes_ref, leaves_ref,
             out_t, out_prim, out_u, out_v,
             root_ref: int, leaf_width: int, lvl: int, any_hit: bool,
@@ -86,14 +103,14 @@ def _kernel(orig_ref, dir_ref, tmax_ref, nodes_ref, leaves_ref,
     bf16 = jnp.bfloat16
     t_nodes = nodes_ref.shape[1]
     l_leaves = leaves_ref.shape[1]
-    vw = 9 * leaf_width  # rows per vertex-split plane
+    w = leaf_width
 
-    ox = orig_ref[0, :]
-    oy = orig_ref[1, :]
-    oz = orig_ref[2, :]
-    dx = dir_ref[0, :]
-    dy = dir_ref[1, :]
-    dz = dir_ref[2, :]
+    ox = orig_ref[0:1, :]
+    oy = orig_ref[1:2, :]
+    oz = orig_ref[2:3, :]
+    dx = dir_ref[0:1, :]
+    dy = dir_ref[1:2, :]
+    dz = dir_ref[2:3, :]
 
     def safe_inv(d):
         return 1.0 / jnp.where(jnp.abs(d) < 1e-20,
@@ -104,20 +121,16 @@ def _kernel(orig_ref, dir_ref, tmax_ref, nodes_ref, leaves_ref,
     iz = safe_inv(dz)
 
     # Per-lane traversal STACK (reference: the 64-entry local stack of
-    # src/bvh.cl:234-310). The earlier restart-trail form re-fetched and
-    # re-slab-tested a parent once per descended child plus one step per
-    # backtrack (~2-3 steps per node visit); the stack does exactly one
-    # step per node/leaf visit. Dynamic per-lane indexing is avoided the
-    # same way as everywhere else: pops/pushes are one-hot masked writes
-    # over the small static row axis. A descend pops 1 and pushes <= 8
-    # children, so worst-case occupancy is 7 per ancestor level + 8.
+    # src/bvh.cl:234-310), one packed i32 entry per pending child; pops and
+    # ordered pushes are one-hot masked writes over the static row axis. A
+    # descend pops 1 and pushes <= 8 children, so worst-case occupancy is
+    # 7 per ancestor level + 8.
     s_rows = -(-(7 * lvl + 9) // 8) * 8
     stk_iota = jax.lax.broadcasted_iota(i32, (s_rows, blk), 0)
 
     init = (
         jnp.ones((blk,), i32),                    # sp (root pre-pushed)
-        jnp.where(stk_iota == 0, root_ref, 0),    # stack: child encs
-        jnp.zeros((s_rows, blk), f32),            # stack: entry tmin keys
+        jnp.where(stk_iota == 0, root_ref, 0),    # packed stack (key 0)
         tmax_ref[0, :],                           # best_t
         jnp.full((blk,), -1, i32),                # best_prim
         jnp.zeros((blk,), f32),                   # best_u
@@ -127,157 +140,158 @@ def _kernel(orig_ref, dir_ref, tmax_ref, nodes_ref, leaves_ref,
     )
 
     def cond(s):
-        sp, blocked = s[0], s[7]
-        live = sp > 0
-        if any_hit:
-            live = jnp.logical_and(live, blocked == 0)
-        return jnp.max(jnp.where(live, 1, 0)) > 0
+        return jnp.max(s[0]) > 0    # any_hit lanes zero sp when blocked
 
     def body(s):
-        (sp, stk_ref, stk_key, best_t, best_prim, best_u, best_v,
-         blocked, steps) = s
+        sp, stk, best_t, best_prim, best_u, best_v, blocked, steps = s
         act = sp > 0
-        if any_hit:
-            act = act & (blocked == 0)
 
-        # ---- pop the nearest pending entry (stack top)
-        pop_oh = (stk_iota == (sp - 1)[None, :]) & act[None, :]
-        ref = jnp.sum(jnp.where(pop_oh, stk_ref, 0), axis=0)
-        key = jnp.sum(jnp.where(pop_oh, stk_key, 0.0), axis=0)
+        # ---- pop the stack top (sp==0 lanes match no row: sp-1 == -1)
+        pop_oh = stk_iota == (sp - 1)[None, :]
+        popped = jnp.sum(jnp.where(pop_oh, stk, 0), axis=0)
+        key = jax.lax.bitcast_convert_type(popped & jnp.int32(_KEY_MASK),
+                                           f32)
         sp = sp - act.astype(i32)
         # prune entries made stale by best-t improvements since push time
         live = act & (key < best_t)
-        is_leaf = ref < 0
+        is_leaf = (popped & _LEAF_BIT) != 0
+        idx = popped & _IDX_MASK
         do_node = live & ~is_leaf
         visit_leaf = live & is_leaf
 
         # ---- fetch node row: one-hot matmul gather (MXU, bf16 single pass;
-        # exact by the table encoding, see module docstring)
-        cur = jnp.where(do_node, ref, 0)
-        oh = ((jax.lax.broadcasted_iota(i32, (t_nodes, blk), 0)
-               == cur[None, :]) & do_node[None, :]).astype(bf16)
+        # exact by the table encoding, see module docstring). Inactive lanes
+        # use index -1: matches no iota row, so no separate mask pass.
+        cur = jnp.where(do_node, idx, -1)
+        oh = (jax.lax.broadcasted_iota(i32, (t_nodes, blk), 0)
+              == cur[None, :]).astype(bf16)
         rows = jax.lax.dot_general(
             nodes_ref[:, :], oh, (((1,), (0,)), ((), ())),
             preferred_element_type=f32)              # (72, BLK)
 
-        # ---- slab tests, 8 children, fully unrolled on (BLK,) vectors
-        keys = []
-        encs = []
-        for j in range(8):
-            lox = rows[j * 6 + 0, :]
-            loy = rows[j * 6 + 1, :]
-            loz = rows[j * 6 + 2, :]
-            hix = rows[j * 6 + 3, :]
-            hiy = rows[j * 6 + 4, :]
-            hiz = rows[j * 6 + 5, :]
-            t0x = (lox - ox) * ix
-            t1x = (hix - ox) * ix
-            t0y = (loy - oy) * iy
-            t1y = (hiy - oy) * iy
-            t0z = (loz - oz) * iz
-            t1z = (hiz - oz) * iz
-            tmin = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
-                                           jnp.minimum(t0y, t1y)),
-                               jnp.minimum(t0z, t1z))
-            tmax = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
-                                           jnp.maximum(t0y, t1y)),
-                               jnp.maximum(t0z, t1z))
-            tag_j = rows[48 + j, :]
-            idx_j = (rows[56 + j, :] * 256.0 + rows[64 + j, :]).astype(i32)
-            hit = (tmax >= 0.0) & (tmin <= tmax) & (tmin < best_t)
-            avail = do_node & hit & (tag_j != TAG_EMPTY)
-            keys.append(jnp.where(avail, tmin, BIG))
-            encs.append(jnp.where(tag_j == TAG_LEAF, ~idx_j, idx_j))
+        # ---- slab tests for all 8 children at once on (8, BLK) tiles
+        # (component-major table rows: children live on the sublane axis;
+        # per-child (BLK,) vectors would run at 1/8 VPU utilization)
+        lox = rows[0:8, :]
+        loy = rows[8:16, :]
+        loz = rows[16:24, :]
+        hix = rows[24:32, :]
+        hiy = rows[32:40, :]
+        hiz = rows[40:48, :]
+        t0x = (lox - ox) * ix
+        t1x = (hix - ox) * ix
+        t0y = (loy - oy) * iy
+        t1y = (hiy - oy) * iy
+        t0z = (loz - oz) * iz
+        t1z = (hiz - oz) * iz
+        tmin = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                       jnp.minimum(t0y, t1y)),
+                           jnp.minimum(t0z, t1z))
+        tmax = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                       jnp.maximum(t0y, t1y)),
+                           jnp.maximum(t0z, t1z))
+        tag = rows[48:56, :]
+        cidx = (rows[56:64, :] * 256.0 + rows[64:72, :]).astype(i32)
+        hit = (tmax >= 0.0) & (tmin <= tmax) & (tmin < best_t[None, :])
+        valid = do_node[None, :] & hit & (tag != TAG_EMPTY)
+        kb = jax.lax.bitcast_convert_type(jnp.maximum(tmin, 0.0), i32)
+        packed = ((kb & jnp.int32(_KEY_MASK))
+                  | jnp.where(tag == TAG_LEAF, _LEAF_BIT, 0) | cidx)
+        packed = jnp.where(valid, packed, _INVALID)
 
         # ---- push hit children farthest-first so the nearest pops next:
-        # rank r_j = count of valid children strictly deeper (larger key,
-        # index tie-break); child j lands at stack row sp + r_j
-        valid = [k < BIG for k in keys]
+        # rank r_j = count of valid children strictly deeper; packed ints
+        # order like keys and are distinct, so no tie-break is needed
         for j in range(8):
-            r = jnp.zeros((blk,), i32)
-            for k in range(8):
-                if k == j:
-                    continue
-                # ties pop smallest child index first (matches the old
-                # min-selection order): larger-index ties count as deeper
-                deeper = (keys[k] >= keys[j]) if k > j else \
-                    (keys[k] > keys[j])
-                r = r + (valid[k] & deeper).astype(i32)
-            w_oh = (stk_iota == (sp + r)[None, :]) & valid[j][None, :]
-            stk_ref = jnp.where(w_oh, encs[j][None, :], stk_ref)
-            stk_key = jnp.where(w_oh, keys[j][None, :], stk_key)
-        n_push = valid[0].astype(i32)
-        for j in range(1, 8):
-            n_push = n_push + valid[j].astype(i32)
-        sp = sp + n_push
+            deeper = valid & (packed > packed[j:j + 1, :])
+            r = jnp.sum(deeper.astype(i32), axis=0)
+            row_j = jnp.where(valid[j, :], sp + r, -1)
+            stk = jnp.where(stk_iota == row_j[None, :],
+                            packed[j:j + 1, :], stk)
+        sp = sp + jnp.sum(valid.astype(i32), axis=0)
 
-        # ---- leaf: one-hot matmul gather + dense Möller over W slots.
+        # ---- leaf: one-hot matmul gather + Möller over all W slots on
+        # (W, BLK) tiles (slot-on-sublane layout, like the slab tests).
         # Runs unconditionally: wrapping it in lax.cond (to skip steps where
         # no lane visits a leaf) crashes this toolchain's Mosaic pipeline
-        # with a layout check (`arr.size() >= layout_rank`), reproduced with
-        # scalar operands and pass-through else-branches alike.
-        def leaf_phase(_):
-            bt, bp, bu, bv, bl = best_t, best_prim, best_u, best_v, blocked
-            li = jnp.where(visit_leaf, ~ref, 0)  # leaf encs are negative
-            oh_l = ((jax.lax.broadcasted_iota(i32, (l_leaves, blk), 0)
-                     == li[None, :]) & visit_leaf[None, :]).astype(bf16)
-            lrows = jax.lax.dot_general(
-                leaves_ref[:, :], oh_l, (((1,), (0,)), ((), ())),
-                preferred_element_type=f32)          # (30*W, BLK)
-            for slot_i in range(leaf_width):
-                c = slot_i * 9
+        # with a layout check (`arr.size() >= layout_rank`).
+        li = jnp.where(visit_leaf, idx, -1)
+        oh_l = (jax.lax.broadcasted_iota(i32, (l_leaves, blk), 0)
+                == li[None, :]).astype(bf16)
+        lrows = jax.lax.dot_general(
+            leaves_ref[:, :], oh_l, (((1,), (0,)), ((), ())),
+            preferred_element_type=f32)          # (30*W, BLK)
 
-                def val(k):
-                    # exact f32 reconstruction from the 3-way bf16 split
-                    return ((lrows[c + k, :] + lrows[vw + c + k, :])
-                            + lrows[2 * vw + c + k, :])
+        def val(k):
+            # exact f32 reconstruction from the 3-way bf16 split
+            return ((lrows[k * w:(k + 1) * w, :]
+                     + lrows[(9 + k) * w:(10 + k) * w, :])
+                    + lrows[(18 + k) * w:(19 + k) * w, :])
 
-                ax = val(0)
-                ay = val(1)
-                az = val(2)
-                e1x = val(3)
-                e1y = val(4)
-                e1z = val(5)
-                e2x = val(6)
-                e2y = val(7)
-                e2z = val(8)
-                tc = 3 * vw + slot_i * 3
-                tid = (lrows[tc, :] * 65536.0 + lrows[tc + 1, :] * 256.0
-                       + lrows[tc + 2, :]).astype(i32) - 1
-                px = dy * e2z - dz * e2y
-                py = dz * e2x - dx * e2z
-                pz = dx * e2y - dy * e2x
-                det = e1x * px + e1y * py + e1z * pz
-                ok = jnp.abs(det) >= TRI_EPS
-                idet = 1.0 / jnp.where(ok, det, 1.0)
-                tvx = ox - ax
-                tvy = oy - ay
-                tvz = oz - az
-                u = (tvx * px + tvy * py + tvz * pz) * idet
-                qx = tvy * e1z - tvz * e1y
-                qy = tvz * e1x - tvx * e1z
-                qz = tvx * e1y - tvy * e1x
-                v = (dx * qx + dy * qy + dz * qz) * idet
-                t = (e2x * qx + e2y * qy + e2z * qz) * idet
-                ok = ok & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) \
-                    & (u + v <= 1.0) & (t >= 0.0) & (t < bt) \
-                    & (tid >= 0) & visit_leaf
-                if any_hit:
-                    bl = jnp.maximum(bl, ok.astype(i32))
-                else:
-                    bt = jnp.where(ok, t, bt)
-                    bp = jnp.where(ok, tid, bp)
-                    bu = jnp.where(ok, u, bu)
-                    bv = jnp.where(ok, v, bv)
-            return bt, bp, bu, bv, bl
+        ax = val(0)
+        ay = val(1)
+        az = val(2)
+        e1x = val(3)
+        e1y = val(4)
+        e1z = val(5)
+        e2x = val(6)
+        e2y = val(7)
+        e2z = val(8)
+        tc = 27 * w
+        tid = (lrows[tc:tc + w, :] * 65536.0
+               + lrows[tc + w:tc + 2 * w, :] * 256.0
+               + lrows[tc + 2 * w:tc + 3 * w, :]).astype(i32) - 1
+        px = dy * e2z - dz * e2y
+        py = dz * e2x - dx * e2z
+        pz = dx * e2y - dy * e2x
+        det = e1x * px + e1y * py + e1z * pz
+        ok = jnp.abs(det) >= TRI_EPS
+        idet = 1.0 / jnp.where(ok, det, 1.0)
+        tvx = ox - ax
+        tvy = oy - ay
+        tvz = oz - az
+        u = (tvx * px + tvy * py + tvz * pz) * idet
+        qx = tvy * e1z - tvz * e1y
+        qy = tvz * e1x - tvx * e1z
+        qz = tvx * e1y - tvy * e1x
+        v = (dx * qx + dy * qy + dz * qz) * idet
+        t = (e2x * qx + e2y * qy + e2z * qz) * idet
+        ok = ok & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) \
+            & (u + v <= 1.0) & (t >= 0.0) & (t < best_t[None, :]) \
+            & (tid >= 0) & visit_leaf[None, :]
+        if any_hit:
+            blocked = jnp.maximum(blocked, jnp.max(ok.astype(i32), axis=0))
+            sp = jnp.where(blocked > 0, 0, sp)
+        else:
+            t_c = jnp.where(ok, t, BIG)
+            t_min = jnp.min(t_c, axis=0)
+            # gate on any(ok), NOT t_min < best_t: with t_max above the
+            # BIG sentinel (trace_scene passes 3.4e38) the all-miss
+            # sentinel itself would count as an "improvement" and write a
+            # phantom prim-0 hit
+            improved = jnp.max(ok.astype(i32), axis=0) > 0
+            # first slot achieving the min (matches the sequential
+            # strict-< update order of a slot loop)
+            slot_iota = jax.lax.broadcasted_iota(i32, (w, blk), 0)
+            win = ok & (t_c == t_min[None, :])
+            first = jnp.min(jnp.where(win, slot_iota, w), axis=0)
+            sel = win & (slot_iota == first[None, :])
+            best_t = jnp.where(improved, t_min, best_t)
+            best_prim = jnp.where(improved,
+                                  jnp.sum(jnp.where(sel, tid, 0), axis=0),
+                                  best_prim)
+            best_u = jnp.where(improved,
+                               jnp.sum(jnp.where(sel, u, 0.0), axis=0),
+                               best_u)
+            best_v = jnp.where(improved,
+                               jnp.sum(jnp.where(sel, v, 0.0), axis=0),
+                               best_v)
 
-        best_t, best_prim, best_u, best_v, blocked = leaf_phase(steps)
-
-        return (sp, stk_ref, stk_key, best_t, best_prim, best_u,
-                best_v, blocked, steps + 1)
+        return (sp, stk, best_t, best_prim, best_u, best_v, blocked,
+                steps + 1)
 
     s = jax.lax.while_loop(cond, body, init)
-    _, _, _, best_t, best_prim, best_u, best_v, blocked, steps = s
+    _, _, best_t, best_prim, best_u, best_v, blocked, steps = s
     out_t[0, :] = best_t
     out_prim[0, :] = blocked if any_hit else best_prim
     out_u[0, :] = best_u
@@ -368,15 +382,21 @@ def _split3(x):
 
 @jax.jit
 def mxu_tables(bvh: WideBVH):
-    """Build the transposed bf16 gather tables (see module docstring):
+    """Build the transposed bf16 gather tables (see module docstring).
 
-      nodes  (72, Tpad): rows 0..47 conservative child boxes
+    Layouts are COMPONENT-MAJOR so the kernel's post-gather math runs on
+    (8, BLK)/(W, BLK) tiles with the child/slot axis on sublanes (per-child
+    (BLK,) vectors would occupy one sublane each = 1/8 VPU utilization):
+
+      nodes  (72, Tpad): rows [c*8 + child], c in 0..5 = lox loy loz hix
+                         hiy hiz — conservative child boxes;
                          rows 48..55 child tag (0 inner / 1 leaf / 2 empty)
                          rows 56..63 child index high byte
                          rows 64..71 child index low byte
-      leaves (30W, Lpad): rows [s*9W + slot*9 + k], s in 0..2 — vertex
-                         split planes; rows [27W + slot*3 + c] — (tid+1)
-                         byte chunks (pad rows are all-zero => tid -1).
+      leaves (30W, Lpad): rows [(s*9 + k)*W + slot], s in 0..2 — vertex
+                         split planes, component k in 0..8;
+                         rows [27W + c*W + slot] — (tid+1) byte chunks
+                         (pad rows are all-zero => tid -1).
 
     Indices are byte-chunked so the single-pass bf16 matmul gathers them
     exactly; callers guarantee node/leaf counts < 2^16 (fits_vmem bounds
@@ -391,7 +411,8 @@ def mxu_tables(bvh: WideBVH):
     boxes = jnp.where(empty, far_point, boxes)
     lo_q = _bf16_conservative(boxes[:, :, 0:3], up=False)
     hi_q = _bf16_conservative(boxes[:, :, 3:6], up=True)
-    boxes_q = jnp.concatenate([lo_q, hi_q], axis=2).reshape(-1, 48)
+    boxes_q = jnp.concatenate([lo_q, hi_q], axis=2)         # (T, 8, 6)
+    boxes_cm = jnp.swapaxes(boxes_q, 1, 2).reshape(-1, 48)  # rows c*8+child
 
     refs = jax.lax.bitcast_convert_type(bvh.nodes[:, 48:56], jnp.int32)
     is_leaf = refs < 0
@@ -401,7 +422,7 @@ def mxu_tables(bvh: WideBVH):
     idx = jnp.where(emp, 0, idx)
     extra = jnp.concatenate([tag, idx >> 8, idx & 255],
                             axis=1).astype(jnp.bfloat16)
-    nodes = jnp.concatenate([boxes_q, extra], axis=1)      # (T, 72) bf16
+    nodes = jnp.concatenate([boxes_cm, extra], axis=1)      # (T, 72) bf16
     n_pad = (-nodes.shape[0]) % 128
     nodes = jnp.pad(nodes, ((0, n_pad), (0, 0)))
 
@@ -411,13 +432,25 @@ def mxu_tables(bvh: WideBVH):
     tid = jax.lax.bitcast_convert_type(lv[:, :, 9], jnp.int32)
     enc = tid + 1                                           # pad slots -> 0
     chunks = jnp.stack([enc >> 16, (enc >> 8) & 255, enc & 255],
-                       axis=2).astype(jnp.bfloat16)         # (L, W, 3)
+                       axis=1).astype(jnp.bfloat16)         # (L, 3, W)
     leaves = jnp.concatenate(
-        [b1.reshape(n_l, -1), b2.reshape(n_l, -1), b3.reshape(n_l, -1),
+        [jnp.swapaxes(b1, 1, 2).reshape(n_l, -1),
+         jnp.swapaxes(b2, 1, 2).reshape(n_l, -1),
+         jnp.swapaxes(b3, 1, 2).reshape(n_l, -1),
          chunks.reshape(n_l, -1)], axis=1)                  # (L, 30W) bf16
     l_pad = (-leaves.shape[0]) % 128
     leaves = jnp.pad(leaves, ((0, l_pad), (0, 0)))
     return nodes.T, leaves.T
+
+
+def _tables(bvh: WideBVH):
+    """Precomputed tables when the scene carries them (built once at
+    upload); otherwise encode on the fly (tests, ad-hoc calls). Without
+    this, jit callers retrace the encode into every program — inside the
+    wavefront scan that meant re-encoding EVERY segment."""
+    if bvh.mxu_nodes_t is not None:
+        return bvh.mxu_nodes_t, bvh.mxu_leaves_t
+    return mxu_tables(bvh)
 
 
 def _prep(orig, dir, t_max, blk):
@@ -458,7 +491,7 @@ def traverse_closest(bvh: WideBVH, orig, dir, t_max,
         r = traverse_wide.traverse_closest(bvh, orig, dir, t_max)
         return Traversal(r.t, r.prim, r.u, r.v)
     _check_index_range(bvh)
-    nodes_t, leaves_t = mxu_tables(bvh)
+    nodes_t, leaves_t = _tables(bvh)
     orig_t, dir_t, t_row, b = _prep(orig, dir, t_max, blk)
     t, prim, u, v = _launch(orig_t, dir_t, t_row, nodes_t, leaves_t,
                             int(bvh.root_ref), int(bvh.leaf_width),
@@ -471,7 +504,7 @@ def traversal_steps(bvh: WideBVH, orig, dir, t_max,
     """Per-block while-iteration counts (perf instrumentation; the cost
     model is sum-over-blocks of steps x per-step latency)."""
     _check_index_range(bvh)
-    nodes_t, leaves_t = mxu_tables(bvh)
+    nodes_t, leaves_t = _tables(bvh)
     orig_t, dir_t, t_row, b = _prep(orig, dir, t_max, blk)
     _, _, _, v = _launch(orig_t, dir_t, t_row, nodes_t, leaves_t,
                          int(bvh.root_ref), int(bvh.leaf_width),
@@ -485,7 +518,7 @@ def traverse_any(bvh: WideBVH, orig, dir, t_max,
         from fluctus_tpu.ops import traverse_wide
         return traverse_wide.traverse_any(bvh, orig, dir, t_max)
     _check_index_range(bvh)
-    nodes_t, leaves_t = mxu_tables(bvh)
+    nodes_t, leaves_t = _tables(bvh)
     orig_t, dir_t, t_row, b = _prep(orig, dir, t_max, blk)
     _, prim, _, _ = _launch(orig_t, dir_t, t_row, nodes_t, leaves_t,
                             int(bvh.root_ref), int(bvh.leaf_width),
@@ -500,7 +533,7 @@ def _chunk_closest(bvh: WideBVH, orig, dir, t_vec, blk: int) -> Traversal:
         r = traverse_wide.traverse_closest(bvh, orig, dir, t_vec)
         return Traversal(r.t, r.prim, r.u, r.v)
     _check_index_range(bvh)
-    nodes_t, leaves_t = mxu_tables(bvh)
+    nodes_t, leaves_t = _tables(bvh)
     orig_t, dir_t, t_row, b = _prep(orig, dir, t_vec, blk)
     t, prim, u, v = _launch(orig_t, dir_t, t_row, nodes_t, leaves_t,
                             int(bvh.root_ref), int(bvh.leaf_width),
@@ -550,7 +583,7 @@ def traverse_any_forest(chunks, orig, dir, t_max,
                                                            cur_len)
             continue
         _check_index_range(wb)
-        nodes_t, leaves_t = mxu_tables(wb)
+        nodes_t, leaves_t = _tables(wb)
         orig_t, dir_t, t_row, _ = _prep(orig, dir, cur_len, blk)
         _, prim, _, _ = _launch(orig_t, dir_t, t_row, nodes_t, leaves_t,
                                 int(wb.root_ref), int(wb.leaf_width),

@@ -192,6 +192,7 @@ class HostScene:
             leaves=jnp.asarray(wide.leaves),
             root_ref=int(wide.root_ref), depth=int(wide.depth),
             leaf_width=int(wide.leaves.shape[1]))
+        wbvh = _attach_mxu_tables(wbvh)
 
         # Beyond-VMEM scenes: also build the treelet forest for the packet
         # kernel (chunks padded to uniform shapes -> one compiled program)
@@ -223,10 +224,10 @@ class HostScene:
                     np.frombuffer(np.int32(-1).tobytes(), np.float32)[0])
                 leaves[:h.leaves.shape[0]] = h.leaves
                 assert h.root_ref == 0, "forest chunk root must be inner"
-                chunks.append(WideBVH(
+                chunks.append(_attach_mxu_tables(WideBVH(
                     nodes=jnp.asarray(nodes), leaves=jnp.asarray(leaves),
                     root_ref=0, depth=int(h.depth),
-                    leaf_width=int(h.leaves.shape[1])))
+                    leaf_width=int(h.leaves.shape[1]))))
             wforest = tuple(chunks)
             wforest_maps = tuple(jnp.asarray(m) for m in maps)
         kd, ks, ke, ns, ni, map_kd, map_ks, map_n, bsdf_id = \
@@ -249,6 +250,19 @@ class HostScene:
         return DeviceScene(geom=geom, bvh=bvh, pbvh=pbvh, wbvh=wbvh,
                            wforest=wforest, wforest_maps=wforest_maps,
                            materials=mats, atlas=atlas, envmap=envd)
+
+
+def _attach_mxu_tables(wbvh):
+    """Precompute the MXU traversal gather tables once at upload (the
+    encode is pure array work; leaving it to the traversal call retraces
+    it into every render program — inside the wavefront scan that meant
+    re-encoding every segment)."""
+    if wbvh.root_ref < 0 or wbvh.nodes.shape[0] >= (1 << 16) \
+            or wbvh.leaves.shape[0] >= (1 << 16):
+        return wbvh
+    from fluctus_tpu.ops.traverse_mxu import mxu_tables
+    nodes_t, leaves_t = mxu_tables(wbvh)
+    return wbvh.replace(mxu_nodes_t=nodes_t, mxu_leaves_t=leaves_t)
 
 
 def load_scene(path: str, env_map: str | None = None) -> HostScene:

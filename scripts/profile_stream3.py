@@ -37,36 +37,35 @@ def main():
     def stub_shadow(scene, params, c, o, d, l, **kw):
         return jnp.zeros(o.shape[:1], bool)
 
-    common.trace_scene = stub_trace
-    common._shadow_blocked = stub_shadow
 
-    def measure(tag, k, **over):
+    def measure(tag, stub=True, **over):
         cfg = sess.cfg.replace(pool_size=pool, **over)
+        common.trace_scene = stub_trace if stub else real_trace
+        common._shadow_blocked = stub_shadow if stub else real_shadow
         wavefront.stream_rounds._clear_cache()
         st = wavefront.init_state(sess.params, cfg)
-        out = (st, jnp.zeros((pool,), jnp.uint32),
-               jnp.zeros((3, pool, k), jnp.float32),
-               jnp.full((pool, k), -1, jnp.int32),
-               jnp.zeros((3,), jnp.uint32))
+        out = (st, jnp.zeros((3,), jnp.uint32))
         seg8 = lambda o: wavefront.stream_rounds(
-            sess.scene, sess.params, cfg, *o, spp, k, 8)
-        out = seg8(out)
-        out = seg8(out)
+            sess.scene, sess.params, cfg, o[0], o[1], spp, 8)
+        o = seg8(out)
+        out = (o[0], o[1])
+        o = seg8(out); out = (o[0], o[1])
         t0 = time.perf_counter()
         for _ in range(4):
-            out = seg8(out)
+            o = seg8(out); out = (o[0], o[1])
         jax.block_until_ready(out)
         dt = (time.perf_counter() - t0) / 32
         print(f"{tag:42s} {dt*1e3:7.2f} ms/segment")
         return dt
 
-    base = measure("stub full (K=272)", 272)
-    measure("stub, K=32", 32)
-    measure("stub, no NEE", 272, sample_expl=False)
-    measure("stub, no env map (impl only)", 272, use_env_map=False)
-    measure("stub, no RR", 272, use_roulette=False)
-    measure("stub, no NEE + no env", 272, sample_expl=False,
-            use_env_map=False)
+    real_trace = common.trace_scene
+    real_shadow = common._shadow_blocked
+    measure("REAL full", stub=False)
+    measure("stub full")
+    measure("stub, no NEE", sample_expl=False)
+    measure("stub, no env map (impl only)", use_env_map=False)
+    measure("stub, no NEE + no env", sample_expl=False, use_env_map=False)
+    measure("REAL, no NEE", stub=False, sample_expl=False)
 
 
 if __name__ == "__main__":

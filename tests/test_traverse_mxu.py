@@ -119,17 +119,19 @@ def test_mxu_tables_roundtrip(rng):
     assert (tag[inner] == 0).all()
     np.testing.assert_array_equal(idx[is_leaf], ~refs[is_leaf])
     np.testing.assert_array_equal(idx[inner], refs[inner])
-    # leaf table: vertex reconstruction + tid chunks
+    # leaf table: vertex reconstruction + tid chunks (component-major rows:
+    # (s*9 + k)*W + slot; tid chunks at 27W + c*W + slot)
     lv = np.asarray(wbvh.leaves)
     L, W = lv.shape[0], lv.shape[1]
     lt = np.asarray(leaves_t.astype(jnp.float32)).T   # (Lpad, 30W)
     vw = 9 * W
     rec = lt[:L, 0:vw] + lt[:L, vw:2 * vw] + lt[:L, 2 * vw:3 * vw]
-    np.testing.assert_array_equal(rec.reshape(L, W, 9), lv[:, :, 0:9])
+    rec = rec.reshape(L, 9, W).transpose(0, 2, 1)     # (L, W, 9)
+    np.testing.assert_array_equal(rec, lv[:, :, 0:9])
     tids = lv[:, :, 9].view(np.int32)
-    ch = lt[:L, 3 * vw:].reshape(L, W, 3)
-    dec = (ch[:, :, 0] * 65536 + ch[:, :, 1] * 256
-           + ch[:, :, 2]).astype(np.int64) - 1
+    ch = lt[:L, 3 * vw:].reshape(L, 3, W)
+    dec = (ch[:, 0, :] * 65536 + ch[:, 1, :] * 256
+           + ch[:, 2, :]).astype(np.int64) - 1
     np.testing.assert_array_equal(dec, tids)
 
 
@@ -161,3 +163,18 @@ def test_mxu_forest_matches_oracle(rng, interp):
                                      blk=128)
     ref = cpu_ref.intersect_any(v0, v1, v2, orig, dir, t_max)
     np.testing.assert_array_equal(np.asarray(blocked), ref)
+
+
+def test_mxu_tmax_above_big_sentinel(rng, interp):
+    """t_max above the kernel's BIG sentinel (trace_scene passes f32-max
+    3.4e38) must not fabricate hits: regression for the phantom prim-0
+    bug where the all-miss leaf sentinel counted as an improvement."""
+    v0, v1, v2 = random_tris(rng, m=200)
+    orig, dir = random_rays(rng, b=256)
+    # aim half the rays away from everything
+    orig[128:] += 100.0
+    wbvh = make_wide(v0, v1, v2)
+    res = tm.traverse_closest(wbvh, jnp.asarray(orig), jnp.asarray(dir),
+                              np.float32(3.4e38), blk=128)
+    t_ref, prim_ref, _, _ = cpu_ref.intersect_closest(v0, v1, v2, orig, dir)
+    np.testing.assert_array_equal(np.asarray(res.prim) >= 0, prim_ref >= 0)
