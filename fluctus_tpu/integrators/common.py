@@ -198,7 +198,7 @@ def nee_env(scene, params, cfg, ctx, sh_orig, wi, types_mask, pix, samp,
     """Next-event estimation against the env map via alias sampling
     (reference: mk_sample_bsdf.cl:71-117)."""
     u = rng.uniform(pix, samp, bounce, rng.Streams.LIGHT_U)
-    L, direct_pdf_w = env_ops.sample_alias(scene.envmap, u)
+    L, direct_pdf_w, rad = env_ops.sample_alias_radiance(scene.envmap, u)
     L = vm.normalize(L)
     len_l = 2.0 * params.world_radius * jnp.ones(wi.shape[0], jnp.float32)
 
@@ -220,7 +220,7 @@ def nee_env(scene, params, cfg, ctx, sh_orig, wi, types_mask, pix, samp,
     if cfg.sample_impl:
         weight = (direct_pdf_w * light_pick_prob) / jnp.maximum(
             direct_pdf_w * light_pick_prob + bsdf_pdf_w, 1e-20)
-    li = env_ops.eval_dir(scene.envmap, L) * params.env_strength
+    li = rad * params.env_strength
     denom = jnp.maximum(light_pick_prob * direct_pdf_w, 1e-20)
     contrib = f * li * (weight * cos_th / denom)[..., None]
     ok = (~blocked) & (direct_pdf_w != 0.0)

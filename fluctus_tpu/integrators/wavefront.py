@@ -93,9 +93,9 @@ def _nee_single_light(scene, params, cfg, ctx, sh_orig, wi, types, pix, samp,
 
     if cfg.use_env_map:
         u = rng.uniform(pix, samp, bounce, rng.Streams.LIGHT_U)
-        L, pdf_env = env_ops.sample_alias(scene.envmap, u)
+        L, pdf_env, rad = env_ops.sample_alias_radiance(scene.envmap, u)
         L = vm.normalize(L)
-        li = env_ops.eval_dir(scene.envmap, L) * params.env_strength
+        li = rad * params.env_strength
         ldir = vm.where3(pick_env, L, ldir)
         llen = jnp.where(pick_env, 2.0 * params.world_radius, llen)
         emission = vm.where3(pick_env, li, emission)
@@ -461,15 +461,17 @@ def render_stream(scene: DeviceScene, params: RenderParams,
 def _bin_rows(rows, n_pix: int, spp: int):
     """Sort emitted sample rows by pixel id; empty rows (pix=-1) sort to the
     back as 0xFFFFFFFF. Exact spp => the first n_pix*spp sorted entries are
-    contiguous per-pixel groups of spp -> reshape-sum."""
+    contiguous per-pixel groups of spp -> reshape-sum. One multi-operand
+    lax.sort carries the channels through the sort network (argsort + three
+    full-length gathers measured slower)."""
     r, g, b, pix = rows
     keys = pix.astype(jnp.uint32)
-    order = jnp.argsort(keys)
+    _, rs, gs, bs = jax.lax.sort((keys, r, g, b), num_keys=1,
+                                 is_stable=True)
     total = n_pix * spp
-    take = order[:total]
-    img = jnp.stack([r[take].reshape(n_pix, spp).sum(axis=1),
-                     g[take].reshape(n_pix, spp).sum(axis=1),
-                     b[take].reshape(n_pix, spp).sum(axis=1)],
+    img = jnp.stack([rs[:total].reshape(n_pix, spp).sum(axis=1),
+                     gs[:total].reshape(n_pix, spp).sum(axis=1),
+                     bs[:total].reshape(n_pix, spp).sum(axis=1)],
                     axis=1) / spp
     n_done = jnp.sum((keys != jnp.uint32(0xFFFFFFFF)).astype(jnp.uint32))
     return img, n_done

@@ -87,6 +87,36 @@ def sample_alias(env: EnvMap, u_rnd: jnp.ndarray):
     return L, pdf_w
 
 
+def sample_alias_radiance(env: EnvMap, u_rnd: jnp.ndarray):
+    """sample_alias + the radiance of the sampled texel in one pass.
+
+    NEE needs Li in the sampled direction; a bilinear eval_dir() at the
+    texel-center direction reduces to the texel value itself (fx = fy = 0),
+    so the 4-corner gather plus the atan2/acos direction->uv roundtrip is
+    redundant — and the texel value is the radiance the alias pdf was
+    built from, so the estimator is exactly consistent. Returns
+    (L unit (..,3), pdf_w (..,), radiance (..,3))."""
+    h, w = env.image.shape[:2]
+    n = w * h
+    r = u_rnd * n
+    i = jnp.minimum(jnp.floor(r).astype(jnp.int32), n - 1)
+    frac = r - i
+    take_self = frac < env.prob_table[i]
+    uv_ind = jnp.where(take_self, i, env.alias_table[i])
+    pdf_uv = env.pdf_table[uv_ind]
+    rad = env.image.reshape(n, 3)[uv_ind]
+
+    u_ind = uv_ind % w
+    v_ind = uv_ind // w
+    u = (u_ind.astype(jnp.float32) + 0.5) / w
+    v = (v_ind.astype(jnp.float32) + 0.5) / h
+    L = uv_to_direction(u, v)
+    sin_th = jnp.sin(PI * v)
+    pdf_w = jnp.where(sin_th != 0.0,
+                      pdf_uv / (TWO_PI2 * jnp.maximum(sin_th, 1e-20)), 0.0)
+    return L, pdf_w, rad
+
+
 def pdf_dir(env: EnvMap, d: jnp.ndarray) -> jnp.ndarray:
     """pdf_w of sampling direction d — MIS query
     (reference: src/env_map.cl:95-107)."""

@@ -103,11 +103,11 @@ def render(session: RenderSession, spp: int,
         from fluctus_tpu.integrators import wavefront
         cfg = session.cfg
         n_pix = cfg.width * cfg.height
-        # measured on the bench frame (512², 16 spp): pool 2^15 with
-        # 16-segment launches is the sweet spot (2^14: 1.07 s, 2^15: 1.08 s,
-        # 2^16: 1.17 s, 2^18: 1.73 s) — bigger pools pay a mostly-idle
-        # drain tail, smaller ones per-segment fixed cost
-        pool = min(cfg.pool_size, max(1 << 12, min(1 << 15, n_pix)))
+        # measured on the bench frame (512², 16 spp, post kernel rewrite):
+        # pool 2^14 with 16-segment launches is the sweet spot (2^14:
+        # 0.91 s, 2^15: 0.97 s, 2^16: 1.09 s, 2^18: 1.48 s) — bigger pools
+        # pay a mostly-idle drain tail, smaller ones per-segment fixed cost
+        pool = min(cfg.pool_size, max(1 << 12, min(1 << 14, n_pix)))
         cfg = cfg.replace(pool_size=pool)
         img, _ = wavefront.render_stream(session.scene, session.params,
                                          cfg, spp, segments_per_launch=16)

@@ -1,0 +1,67 @@
+"""Would sorting rays before the MXU trace reduce block divergence?
+
+Captures the actual ray population of mid-frame stream segments, then
+compares per-block step counts (the kernel cost model) unsorted vs
+sorted by direction octant + quantized spherical coords."""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from fluctus_tpu.core.types import RenderConfig
+from fluctus_tpu.integrators import common, wavefront
+from fluctus_tpu.ops import traverse_mxu
+from fluctus_tpu.render import driver
+
+
+def main():
+    spp = 16
+    cfg0 = RenderConfig(width=512, height=512, max_bounces=4,
+                        use_area_light=False)
+    sess = driver.create_session(
+        "/root/reference/assets/teapot.ply",
+        env_map="/root/reference/assets/env_maps/night.hdr",
+        cfg=cfg0, use_sbvh=True, cache_dir="data/hierarchies")
+    cfg = sess.cfg.replace(pool_size=1 << 14)
+    wb = sess.scene.wbvh
+
+    # capture segment ray populations by monkeypatching trace_scene
+    captured = []
+    real_trace = common.trace_scene
+
+    def capturing_trace(scene, params, c, orig, dir):
+        captured.append((orig, dir))
+        return real_trace(scene, params, c, orig, dir)
+
+    common.trace_scene = capturing_trace
+    # run segments eagerly (no jit fusion) to observe real ray states
+    state = wavefront.init_state(sess.params, cfg)
+    counters = jnp.zeros((3,), jnp.uint32)
+    for _ in range(12):
+        state, counters, rows = wavefront._stream_segment(
+            sess.scene, sess.params, cfg, state, counters, spp)
+    common.trace_scene = real_trace
+
+    for seg in (0, 3, 8, 11):
+        o, d = captured[seg]
+        steps = traverse_mxu.traversal_steps(wb, o, d, 3e37)
+        # sorted variant: 3-bit octant + 6-bit theta + 6-bit phi
+        oct_ = ((d[:, 0] < 0).astype(jnp.int32)
+                | ((d[:, 1] < 0).astype(jnp.int32) << 1)
+                | ((d[:, 2] < 0).astype(jnp.int32) << 2))
+        th = jnp.clip((d[:, 2] * 0.5 + 0.5) * 8, 0, 7).astype(jnp.int32)
+        ph = jnp.clip((jnp.arctan2(d[:, 1], d[:, 0]) / jnp.pi * 0.5 + 0.5)
+                      * 8, 0, 7).astype(jnp.int32)
+        key = (oct_ << 6) | (th << 3) | ph
+        order = jnp.argsort(key)
+        steps_s = traverse_mxu.traversal_steps(wb, o[order], d[order], 3e37)
+        print(f"seg {seg:2d}: unsorted sum-steps {int(steps.sum()):6d} "
+              f"(max {int(steps.max()):4d}) | sorted {int(steps_s.sum()):6d}"
+              f" (max {int(steps_s.max()):4d})")
+
+
+if __name__ == "__main__":
+    main()

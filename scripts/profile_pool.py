@@ -21,8 +21,8 @@ def main():
         env_map="/root/reference/assets/env_maps/night.hdr",
         cfg=cfg0, use_sbvh=True, cache_dir="data/hierarchies")
 
-    for pool_pow, spl in ((13, 8), (14, 8), (15, 8), (15, 16), (14, 16),
-                          (16, 8)):
+    for pool_pow, spl in ((14, 16), (15, 16), (16, 16), (16, 8), (17, 8),
+                          (18, 4)):
         cfg = sess.cfg.replace(pool_size=1 << pool_pow)
         f = lambda: wavefront.render_stream(sess.scene, sess.params, cfg,
                                             spp, segments_per_launch=spl)[0]
