@@ -28,22 +28,16 @@ def main():
     cfg = sess.cfg.replace(pool_size=1 << 14)
     wb = sess.scene.wbvh
 
-    # capture segment ray populations by monkeypatching trace_scene
+    # capture segment ray populations: the rays a segment traces are the
+    # neutralized pool rays of its INPUT state
     captured = []
-    real_trace = common.trace_scene
-
-    def capturing_trace(scene, params, c, orig, dir):
-        captured.append((orig, dir))
-        return real_trace(scene, params, c, orig, dir)
-
-    common.trace_scene = capturing_trace
-    # run segments eagerly (no jit fusion) to observe real ray states
     state = wavefront.init_state(sess.params, cfg)
     counters = jnp.zeros((3,), jnp.uint32)
     for _ in range(12):
-        state, counters, rows = wavefront._stream_segment(
+        o, d = common.neutralize_rays(state.orig, state.dir, state.alive)
+        captured.append((o, d))
+        state, counters, rows = wavefront.stream_iteration(
             sess.scene, sess.params, cfg, state, counters, spp)
-    common.trace_scene = real_trace
 
     for seg in (0, 3, 8, 11):
         o, d = captured[seg]
