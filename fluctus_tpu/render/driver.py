@@ -104,13 +104,15 @@ def render(session: RenderSession, spp: int,
         cfg = session.cfg
         n_pix = cfg.width * cfg.height
         # measured on the bench frame (512², 16 spp, post kernel rewrite):
-        # pool 2^14 with 16-segment launches is the sweet spot (2^14:
-        # 0.91 s, 2^15: 0.97 s, 2^16: 1.09 s, 2^18: 1.48 s) — bigger pools
-        # pay a mostly-idle drain tail, smaller ones per-segment fixed cost
+        # pool 2^14 with 32-segment launches is the sweet spot (pool 2^14:
+        # 0.91 s, 2^15: 0.97 s, 2^16: 1.09 s at spl=16; spl 16/32/64 ->
+        # 813/757/~870 ms) — bigger pools pay a mostly-idle drain tail,
+        # smaller ones per-segment fixed cost; longer launches amortize
+        # dispatch until the lagged drain check overshoots
         pool = min(cfg.pool_size, max(1 << 12, min(1 << 14, n_pix)))
         cfg = cfg.replace(pool_size=pool)
         img, _ = wavefront.render_stream(session.scene, session.params,
-                                         cfg, spp, segments_per_launch=16)
+                                         cfg, spp, segments_per_launch=32)
         return np.asarray(img)
     img = lockstep.render(session.scene, session.params, session.cfg, spp)
     return np.asarray(img)
