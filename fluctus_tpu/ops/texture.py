@@ -31,9 +31,19 @@ def fetch_texel(atlas: TextureAtlas, tex_idx: jnp.ndarray, uv: jnp.ndarray):
     return jnp.stack([r, g, b], axis=-1) / 255.0
 
 
+def _atlas_empty(atlas: TextureAtlas) -> bool:
+    """True when the scene has no textures (the packed atlas is the 4-byte
+    placeholder). A static shape property, so gating on it removes the
+    fetch code from the traced program entirely — the analogue of the
+    reference's per-scene texture compile defines (src/kernel_impl.hpp)."""
+    return atlas is None or atlas.data.shape[0] <= 4
+
+
 def mat_float3(atlas: TextureAtlas, fallback: jnp.ndarray,
                tex_idx: jnp.ndarray, uv: jnp.ndarray):
     """Textured value with per-lane fallback (reference: src/utils.cl:144-146)."""
+    if _atlas_empty(atlas):
+        return fallback
     tex = fetch_texel(atlas, tex_idx, uv)
     return vm.where3(tex_idx >= 0, tex, fallback)
 
@@ -51,6 +61,8 @@ def tangent_space_normal(geom: Geometry, atlas: TextureAtlas,
                          n_shading: jnp.ndarray, map_n: jnp.ndarray):
     """Apply a tangent-space normal map where map_n >= 0
     (reference: src/utils.cl:149-182)."""
+    if _atlas_empty(atlas):
+        return n_shading
     default = jnp.broadcast_to(
         jnp.array([0.5, 0.5, 1.0], jnp.float32), n_shading.shape)
     tex_n = mat_float3(atlas, default, map_n, uv_tex)
