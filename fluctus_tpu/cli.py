@@ -50,6 +50,12 @@ def build_parser():
     b.add_argument("--duration", type=float, default=30.0,
                    help="seconds per scene (reference: 30 s)")
     b.add_argument("--csv", default=None, help="CSV output path")
+    b.add_argument("--integrator", default="lockstep",
+                   choices=["lockstep", "stream"],
+                   help="lockstep: analytic ray accounting (every lane "
+                        "every bounce); stream: streaming wavefront with "
+                        "ACTUAL queue-population ray counts (reference "
+                        "wavefront accounting, src/tracer.cpp:333-345)")
 
     o = sub.add_parser("optimize")
     common(o)
@@ -101,10 +107,13 @@ def cmd_render(args):
 
 
 def cmd_benchmark(args):
-    from fluctus_tpu.render.benchmark import run_benchmark
+    from fluctus_tpu.render.benchmark import (run_benchmark,
+                                              run_benchmark_stream)
 
-    result = run_benchmark(make_session(args), duration_s=args.duration,
-                           scene_name=args.scene, csv_path=args.csv)
+    fn = (run_benchmark_stream if args.integrator == "stream"
+          else run_benchmark)
+    result = fn(make_session(args), duration_s=args.duration,
+                scene_name=args.scene, csv_path=args.csv)
     print(json.dumps(result))
 
 

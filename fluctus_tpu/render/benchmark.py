@@ -39,11 +39,14 @@ def run_benchmark(session, duration_s: float = 30.0, scene_name: str = "",
     tile = min(cfg.tile_size, n_pix)
     primary_c, ext_c, shadow_c = ray_counts_per_sample(cfg, tile)
 
-    # warm up / compile (fused-spp program)
+    # warm up / compile (fused-spp program). NOTE: block_until_ready can
+    # return on an ASYNC ack through the compile relay (measured: a 12 s
+    # "run" enqueued thousands of frames); every timed iteration must FETCH
+    # a value to close the round trip.
     spp_per_iter = max(spp_per_iter, 4)
     idx0 = jnp.arange(tile, dtype=jnp.uint32)
-    lockstep._render_tile_spp(scene, params, cfg, idx0, jnp.uint32(0),
-                              spp_per_iter).block_until_ready()
+    np.asarray(lockstep._render_tile_spp(scene, params, cfg, idx0,
+                                         jnp.uint32(0), spp_per_iter)[0])
 
     rows = []
     samples_done = 0
@@ -54,9 +57,9 @@ def run_benchmark(session, duration_s: float = 30.0, scene_name: str = "",
              for st in range(0, n_pix, tile)]
     while time.perf_counter() - t0 < duration_s:
         for _, idx in tiles:
-            lockstep._render_tile_spp(scene, params, cfg, idx,
-                                      jnp.uint32(s), spp_per_iter
-                                      ).block_until_ready()
+            np.asarray(lockstep._render_tile_spp(scene, params, cfg, idx,
+                                                 jnp.uint32(s),
+                                                 spp_per_iter)[0])
             now = time.perf_counter()
             dt = now - t_last
             t_last = now
@@ -83,9 +86,70 @@ def run_benchmark(session, duration_s: float = 30.0, scene_name: str = "",
         "samples_mrays_s": samples_done / wall / 1e6,
     }
     if csv_path:
-        with open(csv_path, "w") as f:
-            f.write(CSV_HEADER + "\n")
-            for r in rows:
-                f.write(f"{r[0]};{r[1]:.2f};{r[2]:.2f};{r[3]:.2f};"
-                        f"{r[4]:.2f};{r[5]:.2f};{r[6]:.2f}\n")
+        _write_csv(csv_path, rows)
+    return result
+
+
+def _write_csv(csv_path, rows):
+    with open(csv_path, "w") as f:
+        f.write(CSV_HEADER + "\n")
+        for r in rows:
+            f.write(f"{r[0]};{r[1]:.2f};{r[2]:.2f};{r[3]:.2f};"
+                    f"{r[4]:.2f};{r[5]:.2f};{r[6]:.2f}\n")
+
+
+def run_benchmark_stream(session, duration_s: float = 30.0,
+                         scene_name: str = "", csv_path: str | None = None,
+                         spp_per_frame: int = 4):
+    """Reference-comparable benchmark of the streaming wavefront: ray
+    counts are the ACTUAL per-segment queue populations reported by the
+    renderer's counters (primary = spawns, extension/shadow = live-lane
+    sums), matching the reference's wavefront queue-length accounting
+    (src/tracer.cpp:333-345) rather than the lockstep analytic model —
+    the stream terminates paths early, so it traces far fewer rays per
+    sample than the lockstep bound."""
+    from fluctus_tpu.integrators import wavefront
+
+    cfg = session.cfg
+    n_pix = cfg.width * cfg.height
+    pool = min(cfg.pool_size, max(1 << 12, min(1 << 14, n_pix)))
+    cfg = cfg.replace(pool_size=pool)
+
+    def frame():
+        img, counters = wavefront.render_stream(
+            session.scene, session.params, cfg, spp_per_frame,
+            segments_per_launch=32)
+        return np.asarray(counters, np.float64)
+
+    frame()  # compile/warm
+    rows = []
+    tot = np.zeros(3)
+    samples_done = 0
+    t0 = time.perf_counter()
+    t_last = t0
+    while time.perf_counter() - t0 < duration_s:
+        c = frame()
+        now = time.perf_counter()
+        dt = now - t_last
+        t_last = now
+        spawns, ext, shadow = c
+        tot += c
+        samples_done += n_pix * spp_per_frame
+        rows.append((scene_name, now - t0, spawns / dt / 1e6,
+                     ext / dt / 1e6, shadow / dt / 1e6,
+                     (spawns + ext + shadow) / dt / 1e6,
+                     n_pix * spp_per_frame / dt / 1e6))
+    wall = time.perf_counter() - t0
+    result = {
+        "scene": scene_name,
+        "wall_s": wall,
+        "samples_per_pixel": samples_done / n_pix,
+        "primary_mrays_s": tot[0] / wall / 1e6,
+        "extension_mrays_s": tot[1] / wall / 1e6,
+        "shadow_mrays_s": tot[2] / wall / 1e6,
+        "total_mrays_s": tot.sum() / wall / 1e6,
+        "samples_mrays_s": samples_done / wall / 1e6,
+    }
+    if csv_path:
+        _write_csv(csv_path, rows)
     return result
