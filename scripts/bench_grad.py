@@ -1,0 +1,70 @@
+"""North-star forward+backward rate (BASELINE.json): MRays/s/chip
+fwd+bwd at 4 bounces, grads on kd + env_image, teapot 512² strided rays.
+
+Timing fetches a scalar per call (relay acks are async)."""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from fluctus_tpu.core.types import RenderConfig
+from fluctus_tpu.parallel.mesh import loss_fn
+from fluctus_tpu.render import driver
+
+N_RAYS = 1 << 16
+
+
+def timed(f, n=3):
+    float(f())
+    best = 1e30
+    for _ in range(n):
+        t0 = time.perf_counter()
+        float(f())
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main():
+    cfg = RenderConfig(width=512, height=512, max_bounces=4,
+                       use_area_light=False)
+    sess = driver.create_session(
+        "/root/reference/assets/teapot.ply",
+        env_map="/root/reference/assets/env_maps/night.hdr",
+        cfg=cfg, use_sbvh=True, cache_dir="data/hierarchies")
+    scene, params = sess.scene, sess.params
+    cfg = sess.cfg
+
+    n_pix = cfg.width * cfg.height
+    pixel_idx = (jnp.arange(N_RAYS, dtype=jnp.uint32)
+                 * (n_pix // N_RAYS))
+    target = jnp.zeros((N_RAYS, 3), jnp.float32)
+    diff = {"kd": scene.materials.kd, "env_image": scene.envmap.image}
+
+    f_fwd = jax.jit(lambda d: loss_fn(d, scene, params, cfg, pixel_idx,
+                                      jnp.uint32(0), target))
+    def both(d):
+        # fold the grads into the fetched scalar so XLA cannot DCE the
+        # backward pass (returning only the loss made bwd measure as free)
+        loss, g = jax.value_and_grad(loss_fn)(
+            d, scene, params, cfg, pixel_idx, jnp.uint32(0), target)
+        return loss + sum(jnp.sum(v) * 1e-30 for v in g.values())
+
+    f_both = jax.jit(both)
+
+    t_f = timed(lambda: f_fwd(diff))
+    t_fb = timed(lambda: f_both(diff))
+
+    rays = N_RAYS * (2 * (cfg.max_bounces + 1) + 1)  # ext+shadow+primary
+    print(f"forward loss:      {t_f*1e3:7.1f} ms "
+          f"({rays/t_f/1e6:6.2f} MRays/s analytic)")
+    print(f"forward+backward:  {t_fb*1e3:7.1f} ms "
+          f"({rays/t_fb/1e6:6.2f} MRays/s counting fwd rays; "
+          f"bwd/fwd {(t_fb-t_f)/t_f:.2f}x)")
+
+
+if __name__ == "__main__":
+    main()
