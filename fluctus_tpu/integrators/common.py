@@ -12,6 +12,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from fluctus_tpu.core import rng, samplers, vecmath as vm
 from fluctus_tpu.core.types import (
@@ -84,17 +85,35 @@ def _mxu_any(scene, orig, dir, lens):
     return traverse_mxu.traverse_any(scene.wbvh, orig, dir, lens)
 
 
+class TraceRecord(NamedTuple):
+    """Raw traversal result for record-replay AD (see
+    lockstep.sample_radiance): recorded in a non-differentiated pass so
+    the differentiable shading pass (and its rematerialized backward)
+    never re-runs the traversal kernels. Hit attributes are stop_gradient
+    anyway (fixed-visibility gradients), so gradients are identical."""
+    t: jnp.ndarray
+    prim: jnp.ndarray
+    u: jnp.ndarray
+    v: jnp.ndarray
+
+
 def trace_scene(scene: DeviceScene, params: RenderParams, cfg: RenderConfig,
-                orig: jnp.ndarray, dir: jnp.ndarray) -> Hit:
+                orig: jnp.ndarray, dir: jnp.ndarray,
+                raw: TraceRecord | None = None, return_raw: bool = False):
     """Closest-hit + optional area-light quad + attribute interpolation
     (reference: src/mk_next_vertex.cl:38-43, src/wf_extrays.cl:27-35).
 
     Hit attributes are wrapped in stop_gradient: visibility and hit
     parameters are non-differentiable by design (fixed-visibility pixel
     gradients, SURVEY §7 hard parts), which also keeps reverse-mode AD from
-    attempting to differentiate the Pallas traversal kernels."""
+    attempting to differentiate the Pallas traversal kernels.
+
+    raw: injected TraceRecord (skips the traversal — replay mode);
+    return_raw: also return the TraceRecord for later replay."""
     g = scene.geom
-    if cfg.backend == "jnp":
+    if raw is not None:
+        tr = raw
+    elif cfg.backend == "jnp":
         tr = traverse.traverse_closest(scene.bvh, g.v0, g.v1, g.v2, orig,
                                        dir, T_MAX)
     elif cfg.backend == "packed":
@@ -106,6 +125,10 @@ def trace_scene(scene: DeviceScene, params: RenderParams, cfg: RenderConfig,
     else:
         tr = traverse_wide.traverse_closest(scene.wbvh, orig, dir, T_MAX)
     tr = jax.lax.stop_gradient(tr)
+    # named so lockstep's checkpoint policy saves the traversal result as
+    # a residual: the rematerialized backward then never re-runs the
+    # traversal kernels (their outputs are dead code under remat)
+    tr = type(tr)(*(checkpoint_name(x, "trace") for x in tr))
     prim = tr.prim
     hit_tri = prim >= 0
     p_safe = jnp.maximum(prim, 0)
@@ -133,6 +156,8 @@ def trace_scene(scene: DeviceScene, params: RenderParams, cfg: RenderConfig,
             mat_id=jnp.where(al_hit, 0, hit.mat_id),
             area_light=al_hit,
         )
+    if return_raw:
+        return hit, TraceRecord(t=tr.t, prim=tr.prim, u=tr.u, v=tr.v)
     return hit
 
 
@@ -194,9 +219,13 @@ def neutralize_rays(orig, dir, active):
 
 
 def nee_env(scene, params, cfg, ctx, sh_orig, wi, types_mask, pix, samp,
-            bounce, light_pick_prob, active=None):
+            bounce, light_pick_prob, active=None, blocked=None,
+            return_blocked=False):
     """Next-event estimation against the env map via alias sampling
-    (reference: mk_sample_bsdf.cl:71-117)."""
+    (reference: mk_sample_bsdf.cl:71-117).
+
+    blocked: injected occlusion result (skips the shadow traversal —
+    record-replay AD); return_blocked: also return it for later replay."""
     u = rng.uniform(pix, samp, bounce, rng.Streams.LIGHT_U)
     L, direct_pdf_w, rad = env_ops.sample_alias_radiance(scene.envmap, u)
     L = vm.normalize(L)
@@ -213,9 +242,11 @@ def nee_env(scene, params, cfg, ctx, sh_orig, wi, types_mask, pix, samp,
     live = (cos_th > 0.0) & ~vm.is_zero(f) & (direct_pdf_w != 0.0)
     if active is not None:
         live = live & active
-    sh_o, L_t = neutralize_rays(sh_orig, L, live)
-    blocked = _shadow_blocked(scene, params, cfg, sh_o, L_t, len_l,
-                              check_area_quad=True)
+    if blocked is None:
+        sh_o, L_t = neutralize_rays(sh_orig, L, live)
+        blocked = _shadow_blocked(scene, params, cfg, sh_o, L_t, len_l,
+                                  check_area_quad=True)
+    blocked = checkpoint_name(jax.lax.stop_gradient(blocked), "shadow")
     weight = jnp.float32(1.0)
     if cfg.sample_impl:
         weight = (direct_pdf_w * light_pick_prob) / jnp.maximum(
@@ -224,11 +255,13 @@ def nee_env(scene, params, cfg, ctx, sh_orig, wi, types_mask, pix, samp,
     denom = jnp.maximum(light_pick_prob * direct_pdf_w, 1e-20)
     contrib = f * li * (weight * cos_th / denom)[..., None]
     ok = (~blocked) & (direct_pdf_w != 0.0)
-    return vm.where3(ok, contrib, jnp.zeros_like(contrib))
+    out = vm.where3(ok, contrib, jnp.zeros_like(contrib))
+    return (out, blocked) if return_blocked else out
 
 
 def nee_area(scene, params, cfg, ctx, sh_orig, wi, types_mask, pix, samp,
-             bounce, light_pick_prob, shorten=1.0, active=None):
+             bounce, light_pick_prob, shorten=1.0, active=None,
+             blocked=None, return_blocked=False):
     """Next-event estimation against the rectangular area light
     (reference: mk_sample_bsdf.cl:120-155; WF shortens the ray by 0.995,
     wf_logic.cl:272)."""
@@ -251,9 +284,11 @@ def nee_area(scene, params, cfg, ctx, sh_orig, wi, types_mask, pix, samp,
     live = (cos_th > 0.0) & ~vm.is_zero(f) & (cos_light > 0.0)
     if active is not None:
         live = live & active
-    sh_o, L_t = neutralize_rays(sh_orig, L, live)
-    blocked = _shadow_blocked(scene, params, cfg, sh_o, L_t, len_l,
-                              check_area_quad=False)
+    if blocked is None:
+        sh_o, L_t = neutralize_rays(sh_orig, L, live)
+        blocked = _shadow_blocked(scene, params, cfg, sh_o, L_t, len_l,
+                                  check_area_quad=False)
+    blocked = checkpoint_name(jax.lax.stop_gradient(blocked), "shadow")
     weight = jnp.float32(1.0)
     if cfg.sample_impl:
         weight = (direct_pdf_w * light_pick_prob) / jnp.maximum(
@@ -261,7 +296,8 @@ def nee_area(scene, params, cfg, ctx, sh_orig, wi, types_mask, pix, samp,
     denom = jnp.maximum(light_pick_prob * direct_pdf_w, 1e-20)
     contrib = al.emission * (f * (weight * cos_th / denom)[..., None])
     ok = (~blocked) & (cos_light > 0.0)
-    return vm.where3(ok, contrib, jnp.zeros_like(contrib))
+    out = vm.where3(ok, contrib, jnp.zeros_like(contrib))
+    return (out, blocked) if return_blocked else out
 
 
 def implicit_env_weight(scene, params, cfg, dir, last_pdf_w, last_specular,

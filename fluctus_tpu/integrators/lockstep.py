@@ -45,7 +45,11 @@ def sample_radiance(scene: DeviceScene, params: RenderParams,
     (reference wavefront gets this for free via its raygen queue,
     src/wf_logic.cl:158-177; this is the lockstep equivalent). Forward-only:
     reverse-mode AD needs the fixed-trip scan, so optimization paths call
-    with early_exit=False (the default)."""
+    with early_exit=False (the default).
+
+    Under reverse-mode AD, the checkpointed bounce body saves the
+    traversal/occlusion results as named residuals (see the policy below),
+    so the rematerialized backward never re-runs a traversal kernel."""
     types = cfg.bsdf_types_mask
     pix = pixel_idx.astype(jnp.uint32)
     samp = jnp.asarray(sample_idx, jnp.uint32)
@@ -150,7 +154,18 @@ def sample_radiance(scene: DeviceScene, params: RenderParams,
                                       (jnp.uint32(0), carry))
         return carry[3]
     bounces = jnp.arange(cfg.max_bounces + 1, dtype=jnp.uint32)
-    carry, _ = jax.lax.scan(jax.checkpoint(bounce_body), carry, bounces)
+    # The bounce body is checkpointed with a policy that saves ONLY the
+    # traversal results and shadow-occlusion flags (tagged with
+    # checkpoint_name in common.py) as residuals — they are stop_gradient
+    # by design (fixed-visibility gradients), and with them saved the
+    # rematerialized backward pass never re-runs a traversal kernel (the
+    # kernel calls are dead code under remat). Everything else (shading)
+    # remats, keeping activation memory per bounce tiny.
+    ckpt = jax.checkpoint(
+        bounce_body,
+        policy=jax.checkpoint_policies.save_only_these_names(
+            "trace", "shadow"))
+    carry, _ = jax.lax.scan(ckpt, carry, bounces)
     return carry[3]
 
 
