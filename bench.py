@@ -40,7 +40,11 @@ def main():
                                          spp, segments_per_launch=32)
         return float(jnp.sum(img))
 
-    assert frame() > 0.0  # compile + warmup + sanity
+    # compile + warmup + sanity (unconditional: an assert would be stripped
+    # under python -O and the first timed frame would include compilation)
+    warm = frame()
+    if not warm > 0.0:
+        raise RuntimeError(f"warmup frame produced non-positive sum {warm}")
     dt = min(_timed(frame) for _ in range(3))
 
     n_samples = cfg.width * cfg.height * spp

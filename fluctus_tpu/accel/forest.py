@@ -1,0 +1,140 @@
+"""Host-side builder for the streamed treelet forest (beyond-VMEM scenes).
+
+Partitions the triangle set into spatial chunks small enough that one
+chunk's MXU gather tables fit VMEM, builds an independent wide BVH per
+chunk with GLOBAL triangle ids baked into the leaf tables, pads every
+chunk to a common table shape, and encodes the stacked tables for the
+streamed forest kernel (ops/traverse_forest.py).
+
+Reference analogue: none — the reference traverses one global-memory BVH
+(src/bvh.cl:234-310); on TPU the per-lane gather primitive (one-hot matmul)
+has per-step cost proportional to the resident table height, so the scene
+is tiled into fixed-size treelets that stream HBM->VMEM through the
+Pallas grid while ray blocks visit only the treelets they intersect.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from fluctus_tpu.accel.wide import LEAF_WIDTH, build_wide
+
+# Chunk size in triangles. Per-step traversal cost inside a chunk scales
+# with its table heights (one-hot construction + matmul are O(rows)), so
+# smaller chunks are cheaper per step but raise the chunks-visited count
+# per ray block; ~8k tris lands the leaf table around 1024 rows (~2 MB of
+# kernel VMEM with double buffering) — tuned on the forest bench.
+TARGET_TRIS = 8192
+
+
+@dataclass
+class HostForest:
+    nodes: np.ndarray     # (C, 72, Tp) bf16-as-uint16 view or float32 staged
+    leaves: np.ndarray    # (C, 30W, Lp)
+    boxes: np.ndarray     # (C, 8) f32 chunk AABB lo(3) hi(3) pad(2)
+    lvl: int              # max wide depth over chunks + 1
+    leaf_width: int
+
+
+def _split_chunks(v0, v1, v2, target_tris: int) -> list[np.ndarray]:
+    """Spatial median split on the widest centroid axis until every chunk
+    holds <= target_tris triangles (same scheme as accel/wide.py
+    build_wide_forest, sized by count instead of table bytes)."""
+    centroid = ((np.minimum(np.minimum(v0, v1), v2)
+                 + np.maximum(np.maximum(v0, v1), v2)) * 0.5)
+    chunks: list[np.ndarray] = []
+    stack = [np.arange(len(v0), dtype=np.int64)]
+    while stack:
+        ids = stack.pop()
+        if len(ids) <= target_tris:
+            chunks.append(ids)
+            continue
+        c = centroid[ids]
+        axis = int(np.argmax(c.max(0) - c.min(0)))
+        order = np.argsort(c[:, axis], kind="stable")
+        half = len(ids) // 2
+        stack.append(ids[order[:half]])
+        stack.append(ids[order[half:]])
+    return chunks
+
+
+def _wrap_leaf_root(h):
+    """Chunks whose whole triangle set fits one fat leaf get a 1-node
+    wrapper so every chunk's root is node 0 (the kernel's static root)."""
+    if h.root_ref >= 0:
+        return h
+    lv = h.leaves
+    # bounding box of the leaf's triangles
+    k = lv.shape[1]
+    a = lv[:, :, 0:3]
+    b = a + lv[:, :, 3:6]
+    c = a + lv[:, :, 6:9]
+    tid = lv[:, :, 9].view(np.int32)
+    m = (tid >= 0)[..., None]
+    big = np.float32(3e37)
+    lo = np.minimum(np.minimum(np.where(m, a, big).min((0, 1)),
+                               np.where(m, b, big).min((0, 1))),
+                    np.where(m, c, big).min((0, 1)))
+    hi = np.maximum(np.maximum(np.where(m, a, -big).max((0, 1)),
+                               np.where(m, b, -big).max((0, 1))),
+                    np.where(m, c, -big).max((0, 1)))
+    row = np.zeros(56, np.float32)
+    row[0:48:6] = np.inf
+    row[0:3] = lo
+    row[3:6] = hi
+    refs = np.zeros(8, np.int32)
+    refs[0] = h.root_ref  # the leaf
+    row[48:56] = refs.view(np.float32)
+    h.nodes = row[None, :]
+    h.root_ref = 0
+    h.depth = 1
+    return h
+
+
+def build_host_forest(v0, v1, v2, build_binary,
+                      leaf_width: int = LEAF_WIDTH,
+                      target_tris: int = TARGET_TRIS) -> HostForest:
+    """Build the stacked, padded per-chunk wide-BVH tables (float32 staging;
+    device-side bf16 encoding happens in scene upload via
+    traverse_forest.encode_forest)."""
+    chunk_ids = _split_chunks(v0, v1, v2, target_tris)
+    hosts = []
+    for ids in chunk_ids:
+        built = build_binary(v0[ids], v1[ids], v2[ids])
+        h = build_wide(built, v0[ids], v1[ids], v2[ids],
+                       leaf_width=leaf_width)
+        h = _wrap_leaf_root(h)
+        # remap leaf triangle ids chunk-local -> global
+        tid = h.leaves[:, :, 9].view(np.int32).copy()
+        valid = tid >= 0
+        tid[valid] = ids[tid[valid]].astype(np.int32)
+        h.leaves[:, :, 9] = tid.view(np.float32)
+        hosts.append(h)
+
+    n_max = max(h.nodes.shape[0] for h in hosts)
+    l_max = max(h.leaves.shape[0] for h in hosts)
+    # pad chunk tables to a common shape (and the kernel's 128 alignment
+    # once here, so the device encode never repads per chunk)
+    n_max = -(-n_max // 128) * 128
+    l_max = -(-l_max // 128) * 128
+    c = len(hosts)
+    nodes = np.zeros((c, n_max, 56), np.float32)
+    nodes[:, :, 0:48:6] = np.inf           # pad rows: children never hit
+    leaves = np.zeros((c, l_max, leaf_width, 10), np.float32)
+    leaves[..., 9] = np.frombuffer(np.int32(-1).tobytes(),
+                                   np.float32)[0]  # pad slots: tid -1
+    boxes = np.zeros((c, 8), np.float32)
+    lvl = 1
+    for i, (h, ids) in enumerate(zip(hosts, chunk_ids)):
+        nodes[i, :h.nodes.shape[0]] = h.nodes
+        leaves[i, :h.leaves.shape[0]] = h.leaves
+        lvl = max(lvl, int(h.depth) + 1)
+        t = np.concatenate([v0[ids], v1[ids], v2[ids]])
+        boxes[i, 0:3] = t.min(0)
+        boxes[i, 3:6] = t.max(0)
+        assert h.nodes.shape[0] < (1 << 16), "forest chunk node count"
+        assert h.leaves.shape[0] < (1 << 16), "forest chunk leaf count"
+    assert len(v0) < (1 << 24) - 1, "global tri ids exceed 3-byte encoding"
+    return HostForest(nodes=nodes, leaves=leaves, boxes=boxes, lvl=lvl,
+                      leaf_width=leaf_width)

@@ -125,6 +125,24 @@ class WideBVH:
 
 
 @struct.dataclass
+class ForestTables:
+    """Beyond-VMEM traversal tables: every treelet chunk's MXU gather tables
+    stacked along a leading chunk axis, HBM-resident and streamed through
+    VMEM by the forest kernel (ops/traverse_forest.py) one chunk block per
+    grid step. Leaf triangle ids are GLOBAL (no per-chunk prim maps).
+
+    Reference analogue: none — the reference traverses one global-memory BVH
+    per thread (src/bvh.cl:234-310); the TPU form tiles the scene into
+    VMEM-sized treelets and schedules (ray-block, chunk) visits."""
+    nodes: jnp.ndarray     # (C, 72, Tp) bf16 — per-chunk node gather tables
+    leaves: jnp.ndarray    # (C, 30W, Lp) bf16 — per-chunk leaf gather tables
+    boxes: jnp.ndarray     # (C, 8) f32 — chunk AABB lo(3) hi(3) pad(2)
+    # static per-scene specialization (like WideBVH.root_ref/depth)
+    lvl: int = struct.field(pytree_node=False, default=8)
+    leaf_width: int = struct.field(pytree_node=False, default=16)
+
+
+@struct.dataclass
 class Geometry:
     """SoA triangle soup (reference: src/geom.h:89-95 `Triangle`). Padded to a
     lane-friendly length; pad triangles are degenerate (never hit)."""
@@ -176,6 +194,9 @@ class DeviceScene:
     # chunk-local to global triangle ids. Empty when wbvh fits VMEM.
     wforest: tuple = ()
     wforest_maps: tuple = ()
+    # Stacked-chunk tables for the streamed forest kernel (the default
+    # beyond-VMEM path); None when the scene fits VMEM.
+    ftables: Optional[ForestTables] = None
     materials: Materials = None
     atlas: TextureAtlas = None
     envmap: EnvMap = None

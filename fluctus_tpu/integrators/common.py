@@ -41,6 +41,10 @@ def _wbvh_bounds(wbvh):
 
 
 def _pallas_closest(scene, orig, dir, t_max):
+    if scene.ftables is not None and not scene.wforest:
+        # big scene without a packet forest: the streamed forest kernel is
+        # the only VMEM-feasible Pallas path
+        return _mxu_closest(scene, orig, dir, t_max)
     lo, hi = _wbvh_bounds(scene.wbvh)
     if scene.wforest:
         fn = lambda o, d: traverse_pallas.traverse_closest_forest(
@@ -52,6 +56,8 @@ def _pallas_closest(scene, orig, dir, t_max):
 
 
 def _pallas_any(scene, orig, dir, lens):
+    if scene.ftables is not None and not scene.wforest:
+        return _mxu_any(scene, orig, dir, lens)
     lo, hi = _wbvh_bounds(scene.wbvh)
     keys = ray_sort.ray_sort_keys(orig, dir, lo, hi)
     order = jnp.argsort(keys)
@@ -66,12 +72,18 @@ def _pallas_any(scene, orig, dir, lens):
 
 
 def _mxu_ok(scene: DeviceScene) -> bool:
+    if scene.ftables is not None:
+        return True
     if scene.wforest:
         return traverse_mxu.forest_fits_vmem(scene.wforest)
     return scene.wbvh.root_ref >= 0 and traverse_mxu.fits_vmem(scene.wbvh)
 
 
 def _mxu_closest(scene, orig, dir, t_max):
+    if scene.ftables is not None:
+        from fluctus_tpu.ops import traverse_forest
+        return traverse_forest.traverse_closest(scene.ftables, orig, dir,
+                                                t_max)
     if scene.wforest:
         return traverse_mxu.traverse_closest_forest(
             scene.wforest, scene.wforest_maps, orig, dir, t_max)
@@ -79,41 +91,29 @@ def _mxu_closest(scene, orig, dir, t_max):
 
 
 def _mxu_any(scene, orig, dir, lens):
+    if scene.ftables is not None:
+        from fluctus_tpu.ops import traverse_forest
+        return traverse_forest.traverse_any(scene.ftables, orig, dir, lens)
     if scene.wforest:
         return traverse_mxu.traverse_any_forest(scene.wforest, orig, dir,
                                                 lens)
     return traverse_mxu.traverse_any(scene.wbvh, orig, dir, lens)
 
 
-class TraceRecord(NamedTuple):
-    """Raw traversal result for record-replay AD (see
-    lockstep.sample_radiance): recorded in a non-differentiated pass so
-    the differentiable shading pass (and its rematerialized backward)
-    never re-runs the traversal kernels. Hit attributes are stop_gradient
-    anyway (fixed-visibility gradients), so gradients are identical."""
-    t: jnp.ndarray
-    prim: jnp.ndarray
-    u: jnp.ndarray
-    v: jnp.ndarray
-
-
 def trace_scene(scene: DeviceScene, params: RenderParams, cfg: RenderConfig,
-                orig: jnp.ndarray, dir: jnp.ndarray,
-                raw: TraceRecord | None = None, return_raw: bool = False):
+                orig: jnp.ndarray, dir: jnp.ndarray):
     """Closest-hit + optional area-light quad + attribute interpolation
     (reference: src/mk_next_vertex.cl:38-43, src/wf_extrays.cl:27-35).
 
     Hit attributes are wrapped in stop_gradient: visibility and hit
     parameters are non-differentiable by design (fixed-visibility pixel
     gradients, SURVEY §7 hard parts), which also keeps reverse-mode AD from
-    attempting to differentiate the Pallas traversal kernels.
-
-    raw: injected TraceRecord (skips the traversal — replay mode);
-    return_raw: also return the TraceRecord for later replay."""
+    attempting to differentiate the Pallas traversal kernels. Under the
+    lockstep integrator's checkpoint policy the traversal result is saved
+    as a named residual ("trace"), so the rematerialized backward never
+    re-runs a traversal kernel."""
     g = scene.geom
-    if raw is not None:
-        tr = raw
-    elif cfg.backend == "jnp":
+    if cfg.backend == "jnp":
         tr = traverse.traverse_closest(scene.bvh, g.v0, g.v1, g.v2, orig,
                                        dir, T_MAX)
     elif cfg.backend == "packed":
@@ -156,8 +156,6 @@ def trace_scene(scene: DeviceScene, params: RenderParams, cfg: RenderConfig,
             mat_id=jnp.where(al_hit, 0, hit.mat_id),
             area_light=al_hit,
         )
-    if return_raw:
-        return hit, TraceRecord(t=tr.t, prim=tr.prim, u=tr.u, v=tr.v)
     return hit
 
 
@@ -219,13 +217,11 @@ def neutralize_rays(orig, dir, active):
 
 
 def nee_env(scene, params, cfg, ctx, sh_orig, wi, types_mask, pix, samp,
-            bounce, light_pick_prob, active=None, blocked=None,
-            return_blocked=False):
+            bounce, light_pick_prob, active=None):
     """Next-event estimation against the env map via alias sampling
-    (reference: mk_sample_bsdf.cl:71-117).
-
-    blocked: injected occlusion result (skips the shadow traversal —
-    record-replay AD); return_blocked: also return it for later replay."""
+    (reference: mk_sample_bsdf.cl:71-117). The occlusion flag is saved as
+    a named checkpoint residual ("shadow") so path-replay backward passes
+    skip the shadow traversal."""
     u = rng.uniform(pix, samp, bounce, rng.Streams.LIGHT_U)
     L, direct_pdf_w, rad = env_ops.sample_alias_radiance(scene.envmap, u)
     L = vm.normalize(L)
@@ -242,10 +238,9 @@ def nee_env(scene, params, cfg, ctx, sh_orig, wi, types_mask, pix, samp,
     live = (cos_th > 0.0) & ~vm.is_zero(f) & (direct_pdf_w != 0.0)
     if active is not None:
         live = live & active
-    if blocked is None:
-        sh_o, L_t = neutralize_rays(sh_orig, L, live)
-        blocked = _shadow_blocked(scene, params, cfg, sh_o, L_t, len_l,
-                                  check_area_quad=True)
+    sh_o, L_t = neutralize_rays(sh_orig, L, live)
+    blocked = _shadow_blocked(scene, params, cfg, sh_o, L_t, len_l,
+                              check_area_quad=True)
     blocked = checkpoint_name(jax.lax.stop_gradient(blocked), "shadow")
     weight = jnp.float32(1.0)
     if cfg.sample_impl:
@@ -255,13 +250,11 @@ def nee_env(scene, params, cfg, ctx, sh_orig, wi, types_mask, pix, samp,
     denom = jnp.maximum(light_pick_prob * direct_pdf_w, 1e-20)
     contrib = f * li * (weight * cos_th / denom)[..., None]
     ok = (~blocked) & (direct_pdf_w != 0.0)
-    out = vm.where3(ok, contrib, jnp.zeros_like(contrib))
-    return (out, blocked) if return_blocked else out
+    return vm.where3(ok, contrib, jnp.zeros_like(contrib))
 
 
 def nee_area(scene, params, cfg, ctx, sh_orig, wi, types_mask, pix, samp,
-             bounce, light_pick_prob, shorten=1.0, active=None,
-             blocked=None, return_blocked=False):
+             bounce, light_pick_prob, shorten=1.0, active=None):
     """Next-event estimation against the rectangular area light
     (reference: mk_sample_bsdf.cl:120-155; WF shortens the ray by 0.995,
     wf_logic.cl:272)."""
@@ -284,10 +277,9 @@ def nee_area(scene, params, cfg, ctx, sh_orig, wi, types_mask, pix, samp,
     live = (cos_th > 0.0) & ~vm.is_zero(f) & (cos_light > 0.0)
     if active is not None:
         live = live & active
-    if blocked is None:
-        sh_o, L_t = neutralize_rays(sh_orig, L, live)
-        blocked = _shadow_blocked(scene, params, cfg, sh_o, L_t, len_l,
-                                  check_area_quad=False)
+    sh_o, L_t = neutralize_rays(sh_orig, L, live)
+    blocked = _shadow_blocked(scene, params, cfg, sh_o, L_t, len_l,
+                              check_area_quad=False)
     blocked = checkpoint_name(jax.lax.stop_gradient(blocked), "shadow")
     weight = jnp.float32(1.0)
     if cfg.sample_impl:
@@ -296,8 +288,7 @@ def nee_area(scene, params, cfg, ctx, sh_orig, wi, types_mask, pix, samp,
     denom = jnp.maximum(light_pick_prob * direct_pdf_w, 1e-20)
     contrib = al.emission * (f * (weight * cos_th / denom)[..., None])
     ok = (~blocked) & (cos_light > 0.0)
-    out = vm.where3(ok, contrib, jnp.zeros_like(contrib))
-    return (out, blocked) if return_blocked else out
+    return vm.where3(ok, contrib, jnp.zeros_like(contrib))
 
 
 def implicit_env_weight(scene, params, cfg, dir, last_pdf_w, last_specular,

@@ -446,10 +446,21 @@ def render_stream(scene: DeviceScene, params: RenderParams,
         if len(pending) >= 2 and not bool(pending.pop(0)):
             break
 
-    # --- scatter-free binning: sort by pixel, reshape-sum groups of spp
-    img, n_done = _bin_rows(
-        tuple(jnp.concatenate([c[i].reshape(-1) for c in chunks])
-              for i in range(4)), n_pix, spp)
+    # --- scatter-free binning: sort by pixel, reshape-sum groups of spp.
+    # Row count = launches*segments*pool varies with the RR drain length;
+    # pad to the next power of two so the compiled sort is reused across
+    # frames instead of retracing a multi-million-element sort per drain
+    # length (empty rows carry pix=-1 and sort to the back).
+    rows = [jnp.concatenate([c[i].reshape(-1) for c in chunks])
+            for i in range(4)]
+    n_rows = rows[0].shape[0]
+    bucket = max(1 << (n_rows - 1).bit_length(), total)
+    pad = bucket - n_rows
+    if pad:
+        rows = [jnp.concatenate([r, jnp.zeros((pad,), r.dtype)])
+                for r in rows[:3]] + [
+            jnp.concatenate([rows[3], jnp.full((pad,), -1, rows[3].dtype)])]
+    img, n_done = _bin_rows(tuple(rows), n_pix, spp)
     if int(n_done) != total:
         raise RuntimeError(
             f"stream drain incomplete: {int(n_done)}/{total} samples "

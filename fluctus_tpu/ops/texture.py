@@ -32,11 +32,13 @@ def fetch_texel(atlas: TextureAtlas, tex_idx: jnp.ndarray, uv: jnp.ndarray):
 
 
 def _atlas_empty(atlas: TextureAtlas) -> bool:
-    """True when the scene has no textures (the packed atlas is the 4-byte
-    placeholder). A static shape property, so gating on it removes the
-    fetch code from the traced program entirely — the analogue of the
-    reference's per-scene texture compile defines (src/kernel_impl.hpp)."""
-    return atlas is None or atlas.data.shape[0] <= 4
+    """True when the scene has no textures (the packed atlas is the 1-byte
+    placeholder; real RGBA payloads are >= 4 bytes and multiples of 4, so a
+    real 1x1 texture is NOT misclassified). A static shape property, so
+    gating on it removes the fetch code from the traced program entirely —
+    the analogue of the reference's per-scene texture compile defines
+    (src/kernel_impl.hpp)."""
+    return atlas is None or atlas.data.shape[0] < 4
 
 
 def mat_float3(atlas: TextureAtlas, fallback: jnp.ndarray,

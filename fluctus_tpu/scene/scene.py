@@ -194,12 +194,14 @@ class HostScene:
             leaf_width=int(wide.leaves.shape[1]))
         wbvh = _attach_mxu_tables(wbvh)
 
-        # Beyond-VMEM scenes: also build the treelet forest for the packet
-        # kernel (chunks padded to uniform shapes -> one compiled program)
+        # Beyond-VMEM scenes: build the streamed treelet forest (stacked
+        # per-chunk tables, HBM-resident, scheduled per ray block — see
+        # ops/traverse_forest.py). FLUCTUS_PACKET_FOREST=1 restores the r1
+        # per-chunk packet forest for the explicit "pallas" backend.
         wforest, wforest_maps = (), ()
+        ftables = None
         table_bytes = (wide.nodes.size + wide.leaves.size) * 4
         if table_bytes > (8 << 20):
-            from fluctus_tpu.accel.wide import build_wide_forest
 
             def build_binary(a, b, c):
                 if os.environ.get("FLUCTUS_NATIVE", "1") != "0":
@@ -210,26 +212,35 @@ class HostScene:
                         return r
                 return bvh_mod.build_bvh(a, b, c)
 
-            hosts, maps = build_wide_forest(self.v0, self.v1, self.v2,
-                                            build_binary)
-            n_max = max(h.nodes.shape[0] for h in hosts)
-            l_max = max(h.leaves.shape[0] for h in hosts)
-            chunks = []
-            for h in hosts:
-                nodes = np.zeros((n_max, 56), np.float32)
-                nodes[:, 0:48:6] = np.inf  # pad rows: children never hit
-                nodes[:h.nodes.shape[0]] = h.nodes
-                leaves = np.zeros((l_max,) + h.leaves.shape[1:], np.float32)
-                leaves[..., 9] = np.float32(
-                    np.frombuffer(np.int32(-1).tobytes(), np.float32)[0])
-                leaves[:h.leaves.shape[0]] = h.leaves
-                assert h.root_ref == 0, "forest chunk root must be inner"
-                chunks.append(_attach_mxu_tables(WideBVH(
-                    nodes=jnp.asarray(nodes), leaves=jnp.asarray(leaves),
-                    root_ref=0, depth=int(h.depth),
-                    leaf_width=int(h.leaves.shape[1]))))
-            wforest = tuple(chunks)
-            wforest_maps = tuple(jnp.asarray(m) for m in maps)
+            if os.environ.get("FLUCTUS_PACKET_FOREST", "0") == "1":
+                from fluctus_tpu.accel.wide import build_wide_forest
+                hosts, maps = build_wide_forest(self.v0, self.v1, self.v2,
+                                                build_binary)
+                n_max = max(h.nodes.shape[0] for h in hosts)
+                l_max = max(h.leaves.shape[0] for h in hosts)
+                chunks = []
+                for h in hosts:
+                    nodes = np.zeros((n_max, 56), np.float32)
+                    nodes[:, 0:48:6] = np.inf  # pad rows: never hit
+                    nodes[:h.nodes.shape[0]] = h.nodes
+                    leaves = np.zeros((l_max,) + h.leaves.shape[1:],
+                                      np.float32)
+                    leaves[..., 9] = np.float32(
+                        np.frombuffer(np.int32(-1).tobytes(), np.float32)[0])
+                    leaves[:h.leaves.shape[0]] = h.leaves
+                    assert h.root_ref == 0, "forest chunk root must be inner"
+                    chunks.append(_attach_mxu_tables(WideBVH(
+                        nodes=jnp.asarray(nodes), leaves=jnp.asarray(leaves),
+                        root_ref=0, depth=int(h.depth),
+                        leaf_width=int(h.leaves.shape[1]))))
+                wforest = tuple(chunks)
+                wforest_maps = tuple(jnp.asarray(m) for m in maps)
+            else:
+                from fluctus_tpu.accel.forest import build_host_forest
+                from fluctus_tpu.ops.traverse_forest import encode_forest
+                hostf = build_host_forest(self.v0, self.v1, self.v2,
+                                          build_binary)
+                ftables = encode_forest(hostf)
         kd, ks, ke, ns, ni, map_kd, map_ks, map_n, bsdf_id = \
             self.material_arrays()
         mats = Materials(
@@ -249,6 +260,7 @@ class HostScene:
             alias_table=jnp.asarray(env.alias_table))
         return DeviceScene(geom=geom, bvh=bvh, pbvh=pbvh, wbvh=wbvh,
                            wforest=wforest, wforest_maps=wforest_maps,
+                           ftables=ftables,
                            materials=mats, atlas=atlas, envmap=envd)
 
 

@@ -50,7 +50,10 @@ class TexturePool:
         """-> (data (total,) u8, offsets u32, widths i32, heights i32);
         one descriptor per texture (reference: src/clcontext.cpp:570-611)."""
         if not self.textures:
-            return (np.zeros(4, np.uint8), np.zeros(1, np.uint32),
+            # 1-byte placeholder: real RGBA payloads are multiples of 4 and
+            # >= 4 bytes (a 1x1 texture packs to exactly 4), so size < 4 is
+            # an unambiguous no-texture marker (see ops/texture._atlas_empty)
+            return (np.zeros(1, np.uint8), np.zeros(1, np.uint32),
                     np.ones(1, np.int32), np.ones(1, np.int32))
         blobs, offs, ws, hs = [], [], [], []
         off = 0

@@ -55,8 +55,13 @@ def main():
     print(f"SBVH build: {time.perf_counter()-t0:.1f} s")
     t0 = time.perf_counter()
     scene = host.to_device()
+    n_chunks = (scene.ftables.nodes.shape[0] if scene.ftables is not None
+                else len(scene.wforest))
     print(f"upload+tables: {time.perf_counter()-t0:.1f} s; "
-          f"forest chunks: {len(scene.wforest)}")
+          f"forest chunks: {n_chunks}")
+    if scene.ftables is not None:
+        print(f"ftables: nodes {scene.ftables.nodes.shape} "
+              f"leaves {scene.ftables.leaves.shape}")
 
     cfg = RenderConfig(backend="mxu", use_area_light=False,
                        use_env_map=False)
