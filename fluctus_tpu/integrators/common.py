@@ -132,16 +132,41 @@ def trace_scene(scene: DeviceScene, params: RenderParams, cfg: RenderConfig,
     prim = tr.prim
     hit_tri = prim >= 0
     p_safe = jnp.maximum(prim, 0)
-    u = tr.u[:, None]
-    v = tr.v[:, None]
+
+    # Differentiable hit reparameterization: only the prim ID (visibility)
+    # is frozen; t/u/v are recomputed with Moller-Trumbore on the frozen
+    # triangle, so gradients w.r.t. camera origin/direction (and later
+    # vertex positions) flow exactly — stop-gradienting t itself biases
+    # camera gradients because the true hit point slides along the surface
+    # as the ray moves (fixed-visibility differentiable rendering; the
+    # kernel's own t/u/v come from the same formula, so primal values are
+    # unchanged up to float roundoff).
+    a = g.v0[p_safe]
+    e1 = g.v1[p_safe] - a
+    e2 = g.v2[p_safe] - a
+    pvec = vm.cross(dir, e2)
+    det = vm.dot(e1, pvec)
+    safe = hit_tri & (jnp.abs(det) > 1e-20)
+    inv_det = 1.0 / jnp.where(safe, det, 1.0)
+    tvec = orig - a
+    u_d = vm.dot(tvec, pvec) * inv_det
+    qvec = vm.cross(tvec, e1)
+    v_d = vm.dot(dir, qvec) * inv_det
+    t_d = vm.dot(e2, qvec) * inv_det
+    # miss lanes keep a FINITE dummy t: orig + t_max*dir overflows f32 to
+    # inf, and even though consumers mask miss lanes, inf in the untaken
+    # where-branch turns reverse-mode gradients into NaN
+    t_hit = jnp.where(safe, t_d, jnp.where(hit_tri, tr.t, 1.0))
+    u = jnp.where(safe, u_d, tr.u)[:, None]
+    v = jnp.where(safe, v_d, tr.v)[:, None]
     w = 1.0 - u - v
     n = vm.normalize(w * g.n0[p_safe] + u * g.n1[p_safe] + v * g.n2[p_safe])
     uv = w * g.uv0[p_safe] + u * g.uv1[p_safe] + v * g.uv2[p_safe]
-    p = orig + tr.t[:, None] * dir
+    p = orig + t_hit[:, None] * dir
     mat_id = jnp.where(hit_tri, g.mat_id[p_safe], 0)
 
-    hit = Hit(t=tr.t, prim=prim, p=p, n=n, uv=uv, mat_id=mat_id,
-              area_light=jnp.zeros(prim.shape, bool))
+    hit = Hit(t=jnp.where(safe, t_d, tr.t), prim=prim, p=p, n=n, uv=uv,
+              mat_id=mat_id, area_light=jnp.zeros(prim.shape, bool))
 
     if cfg.use_area_light and cfg.sample_impl:
         al = params.area_light

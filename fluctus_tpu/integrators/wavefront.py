@@ -335,14 +335,22 @@ def render(scene: DeviceScene, params: RenderParams, cfg: RenderConfig,
 
 def _stream_segment(scene: DeviceScene, params: RenderParams,
                     cfg: RenderConfig, state: PathState,
-                    counters: jnp.ndarray, spp: int):
+                    counters: jnp.ndarray, spp: int,
+                    pix_base=0, n_pix_local: int | None = None):
     """One streaming segment (traced body; jit entry points below).
 
     counters: [spawn_counter, ext_rays, shadow_rays] uint32.
     Returns (state, counters, (r, g, b, pix)) where the last element is the
     segment's completed-sample row: (pool,) each, pix = -1 where the lane
-    finished no sample this segment."""
-    n_pix = cfg.width * cfg.height
+    finished no sample this segment.
+
+    pix_base / n_pix_local: under data parallelism each shard streams its
+    own contiguous pixel range [pix_base, pix_base + n_pix_local) with a
+    purely local spawn budget — no cross-chip traffic inside the segment
+    (SURVEY §2.4 ray/tile DP design). Defaults cover the whole frame."""
+    n_pix = n_pix_local if n_pix_local is not None else (
+        cfg.width * cfg.height)
+    pix_base = jnp.uint32(pix_base)
     target = jnp.uint32(n_pix * spp)
     active = state.alive
 
@@ -357,12 +365,12 @@ def _stream_segment(scene: DeviceScene, params: RenderParams,
     row_g = jnp.where(done, ei[:, 1], 0.0)
     row_b = jnp.where(done, ei[:, 2], 0.0)
 
-    # --- striding respawn with an exact global spawn budget
+    # --- striding respawn with an exact (shard-local) spawn budget
     rank = jnp.cumsum(terminate.astype(jnp.uint32)) - terminate
     new_spawn = counters[0] + rank
     can_spawn = terminate & (new_spawn < target)
     n_spawned = jnp.sum(can_spawn.astype(jnp.uint32))
-    new_pix = jnp.where(can_spawn, new_spawn % n_pix, 0)
+    new_pix = jnp.where(can_spawn, pix_base + new_spawn % n_pix, 0)
     new_samp = jnp.where(can_spawn, new_spawn // n_pix, 0)
     r_orig, r_dir = _raygen(params, cfg, new_pix, new_samp)
 
@@ -406,6 +414,31 @@ def stream_rounds(scene, params, cfg, state, counters, spp: int, n_seg: int):
     return carry[0], carry[1], rows
 
 
+def init_stream_state(params: RenderParams, cfg: RenderConfig, pool: int,
+                      pix_base=0, n_pix_local: int | None = None):
+    """Pre-spawn a full pool over the (shard-local) pixel range; returns
+    (state, counters) with counters[0] already counting the pre-spawns."""
+    n_pix = n_pix_local if n_pix_local is not None else (
+        cfg.width * cfg.height)
+    lane = jnp.arange(pool, dtype=jnp.uint32)
+    pixel = jnp.uint32(pix_base) + lane % n_pix
+    spawn = lane // n_pix
+    orig, dir = _raygen(params, cfg, pixel, spawn)
+    state = PathState(
+        orig=orig, dir=dir,
+        throughput=jnp.ones((pool, 3), jnp.float32),
+        radiance=jnp.zeros((pool, 3), jnp.float32),
+        pixel_index=pixel,
+        sample_index=spawn,
+        path_len=jnp.zeros((pool,), jnp.uint32),
+        last_pdf_w=jnp.ones((pool,), jnp.float32),
+        last_specular=jnp.ones((pool,), bool),
+        alive=jnp.ones((pool,), bool),
+    )
+    counters = jnp.zeros((3,), jnp.uint32).at[0].set(pool)
+    return state, counters
+
+
 def render_stream(scene: DeviceScene, params: RenderParams,
                   cfg: RenderConfig, spp: int, segments_per_launch: int = 8):
     """Render exactly `spp` samples/pixel with the streaming wavefront.
@@ -414,21 +447,7 @@ def render_stream(scene: DeviceScene, params: RenderParams,
     pool = min(cfg.pool_size, n_pix * spp)
     total = n_pix * spp
 
-    lane = jnp.arange(pool, dtype=jnp.uint32)
-    orig, dir = _raygen(params, cfg, lane % n_pix, lane // n_pix)
-    state = PathState(
-        orig=orig, dir=dir,
-        throughput=jnp.ones((pool, 3), jnp.float32),
-        radiance=jnp.zeros((pool, 3), jnp.float32),
-        pixel_index=lane % n_pix,
-        sample_index=lane // n_pix,
-        path_len=jnp.zeros((pool,), jnp.uint32),
-        last_pdf_w=jnp.ones((pool,), jnp.float32),
-        last_specular=jnp.ones((pool,), bool),
-        alive=jnp.ones((pool,), bool),
-    )
-    counters = jnp.zeros((3,), jnp.uint32)
-    counters = counters.at[0].set(pool)  # pre-spawned
+    state, counters = init_stream_state(params, cfg, pool)
 
     # every segment either completes >= 1 sample or advances every live path
     # one bounce; RR extends past max_bounces with survival prob <= 0.5
@@ -447,25 +466,30 @@ def render_stream(scene: DeviceScene, params: RenderParams,
             break
 
     # --- scatter-free binning: sort by pixel, reshape-sum groups of spp.
-    # Row count = launches*segments*pool varies with the RR drain length;
-    # pad to the next power of two so the compiled sort is reused across
-    # frames instead of retracing a multi-million-element sort per drain
-    # length (empty rows carry pix=-1 and sort to the back).
     rows = [jnp.concatenate([c[i].reshape(-1) for c in chunks])
             for i in range(4)]
-    n_rows = rows[0].shape[0]
-    bucket = max(1 << (n_rows - 1).bit_length(), total)
-    pad = bucket - n_rows
-    if pad:
-        rows = [jnp.concatenate([r, jnp.zeros((pad,), r.dtype)])
-                for r in rows[:3]] + [
-            jnp.concatenate([rows[3], jnp.full((pad,), -1, rows[3].dtype)])]
-    img, n_done = _bin_rows(tuple(rows), n_pix, spp)
+    img, n_done = _bin_rows(bucket_rows(rows, total), n_pix, spp)
     if int(n_done) != total:
         raise RuntimeError(
             f"stream drain incomplete: {int(n_done)}/{total} samples "
             f"(cap {cap})")
     return img.reshape(cfg.height, cfg.width, 3), counters
+
+
+def bucket_rows(rows, total: int):
+    """Pad (r, g, b, pix) sample rows to the next power of two (>= total):
+    row count = launches*segments*pool varies with the RR drain length, and
+    without bucketing every distinct drain length retraces the
+    multi-million-element binning sort (empty rows carry pix=-1 and sort to
+    the back)."""
+    n_rows = rows[0].shape[0]
+    bucket = max(1 << (int(n_rows) - 1).bit_length(), total)
+    pad = bucket - n_rows
+    if pad:
+        rows = [jnp.concatenate([r, jnp.zeros((pad,), r.dtype)])
+                for r in rows[:3]] + [
+            jnp.concatenate([rows[3], jnp.full((pad,), -1, rows[3].dtype)])]
+    return tuple(rows)
 
 
 @partial(jax.jit, static_argnames=("n_pix", "spp"))

@@ -12,6 +12,7 @@ shardings (DCN only at slice boundaries).
 """
 from __future__ import annotations
 
+import functools
 from functools import partial
 
 import jax
@@ -20,7 +21,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from fluctus_tpu.core.types import DeviceScene, RenderConfig, RenderParams
-from fluctus_tpu.integrators import lockstep
+from fluctus_tpu.integrators import lockstep, wavefront
 
 RAY_AXIS = "rays"
 
@@ -71,12 +72,126 @@ def render_sharded(scene: DeviceScene, params: RenderParams,
     return img.reshape(cfg.height, cfg.width, 3)
 
 
+@functools.lru_cache(maxsize=None)
+def _stream_sharded_fns(mesh: Mesh, cfg: RenderConfig, spp: int, n_seg: int,
+                        pool: int, n_loc: int):
+    """Jitted shard_map stages for the sharded streaming wavefront, cached
+    per (mesh, config) so repeated frames reuse the compiled programs.
+
+    Each shard owns a contiguous pixel range [d*n_loc, (d+1)*n_loc) and
+    streams it with a purely LOCAL pool, spawn budget, and binning sort —
+    zero cross-chip traffic until the host gathers the image (the ray/tile
+    DP design of SURVEY §2.4; reference analogue: none, its whole parallel
+    story is one OpenCL device)."""
+    total_loc = n_loc * spp
+
+    def init_local(params):
+        d = jax.lax.axis_index(RAY_AXIS).astype(jnp.uint32)
+        state, counters = wavefront.init_stream_state(
+            params, cfg, pool, pix_base=d * jnp.uint32(n_loc),
+            n_pix_local=n_loc)
+        return state, counters[None]
+
+    def launch_local(scene, params, state, counters):
+        d = jax.lax.axis_index(RAY_AXIS).astype(jnp.uint32)
+        base = d * jnp.uint32(n_loc)
+
+        def body(carry, _):
+            st, ct = carry
+            st, ct, rows = wavefront._stream_segment(
+                scene, params, cfg, st, ct, spp,
+                pix_base=base, n_pix_local=n_loc)
+            return (st, ct), rows
+
+        (state, counters), rows = jax.lax.scan(
+            body, (state, counters[0]), None, length=n_seg)
+        return state, counters[None], rows, jnp.any(state.alive)[None]
+
+    def bin_local(rows):
+        d = jax.lax.axis_index(RAY_AXIS)
+        base = (d * n_loc).astype(jnp.int32)
+        r, g, b, pix = rows
+        pix = jnp.where(pix >= 0, pix - base, -1)
+        flat = [x.reshape(-1) for x in (r, g, b, pix)]
+        img, n_done = wavefront._bin_rows(
+            wavefront.bucket_rows(flat, total_loc), n_loc, spp)
+        return img, n_done[None]
+
+    sharded = P(RAY_AXIS)
+    rows_spec = (P(None, RAY_AXIS),) * 4
+    init_fn = jax.jit(jax.shard_map(
+        init_local, mesh=mesh, in_specs=(P(),),
+        out_specs=(sharded, sharded)))
+    launch_fn = jax.jit(jax.shard_map(
+        launch_local, mesh=mesh,
+        in_specs=(P(), P(), sharded, sharded),
+        out_specs=(sharded, sharded, rows_spec, sharded)),
+        donate_argnums=(2, 3))
+    bin_fn = jax.jit(jax.shard_map(
+        bin_local, mesh=mesh, in_specs=(rows_spec,),
+        out_specs=(sharded, sharded)))
+    return init_fn, launch_fn, bin_fn
+
+
+def render_stream_sharded(scene: DeviceScene, params: RenderParams,
+                          cfg: RenderConfig, spp: int, mesh: Mesh,
+                          segments_per_launch: int = 8):
+    """Data-parallel streaming wavefront: contiguous pixel stripes per chip,
+    per-shard pools/respawn/binning, scene replicated. Matches
+    `wavefront.render_stream` output up to per-pixel summation order.
+    Returns ((H, W, 3) image, per-shard counters (n_dev, 3))."""
+    n_pix = cfg.width * cfg.height
+    n_dev = mesh.size
+    n_loc = -(-n_pix // n_dev)            # phantom tail pixels render and
+    n_pad = n_loc * n_dev                 # are sliced off the final image
+    pool = min(cfg.pool_size, n_loc * spp)
+    init_fn, launch_fn, bin_fn = _stream_sharded_fns(
+        mesh, cfg, spp, segments_per_launch, pool, n_loc)
+
+    scene, params = place(scene, params, mesh)
+    state, counters = init_fn(params)
+
+    cap = (n_loc * spp // pool + cfg.max_bounces + 2) * 8 + 64
+    it = 0
+    chunks = []
+    pending = []  # lagged drain checks (hide relay sync latency)
+    while it < cap:
+        state, counters, rows, alive = launch_fn(scene, params, state,
+                                                 counters)
+        chunks.append(rows)
+        it += segments_per_launch
+        pending.append(jnp.any(alive))
+        if len(pending) >= 2 and not bool(pending.pop(0)):
+            break
+
+    rows = tuple(jnp.concatenate([c[i] for c in chunks], axis=0)
+                 for i in range(4))
+    img, n_done = bin_fn(rows)
+    done = int(jnp.sum(n_done))
+    if done != n_pad * spp:
+        raise RuntimeError(
+            f"sharded stream drain incomplete: {done}/{n_pad * spp} "
+            f"samples (cap {cap})")
+    return (img[:n_pix].reshape(cfg.height, cfg.width, 3),
+            counters)
+
+
+# camera leaves graftable by loss_fn: diff_params key "cam_<field>"
+_CAM_FIELDS = ("pos", "dir", "up", "right", "fov", "aperture_size",
+               "focal_dist")
+
+
 def loss_fn(diff_params, scene: DeviceScene, params, cfg, pixel_idx,
             sample_idx, target):
-    """L2 image loss with differentiable leaves grafted into the scene.
+    """L2 image loss with differentiable leaves grafted into the scene and
+    render params.
 
     `diff_params` is a dict with any of: kd, ks, ns, ni (materials),
-    env_image, camera fields — the BASELINE config-5 parameter surface."""
+    env_image, env_strength, and camera fields cam_pos / cam_dir / cam_up /
+    cam_right / cam_fov / cam_aperture_size / cam_focal_dist — the BASELINE
+    config-5 parameter surface (reference: Camera lives inside RenderParams,
+    src/geom.h:163-180). Gradients flow through the smooth shading/camera
+    math with fixed visibility (hit attributes are stop_gradient)."""
     mats = scene.materials
     if "kd" in diff_params:
         mats = mats.replace(kd=diff_params["kd"])
@@ -84,10 +199,20 @@ def loss_fn(diff_params, scene: DeviceScene, params, cfg, pixel_idx,
         mats = mats.replace(ks=diff_params["ks"])
     if "ns" in diff_params:
         mats = mats.replace(ns=diff_params["ns"])
+    if "ni" in diff_params:
+        mats = mats.replace(ni=diff_params["ni"])
     env = scene.envmap
     if "env_image" in diff_params:
         env = env.replace(image=diff_params["env_image"])
     scene = scene.replace(materials=mats, envmap=env)
+    cam = params.camera
+    cam_updates = {f: diff_params[f"cam_{f}"] for f in _CAM_FIELDS
+                   if f"cam_{f}" in diff_params}
+    if cam_updates:
+        cam = cam.replace(**cam_updates)
+    params = params.replace(camera=cam)
+    if "env_strength" in diff_params:
+        params = params.replace(env_strength=diff_params["env_strength"])
     radiance = lockstep.sample_radiance(scene, params, cfg, pixel_idx,
                                         sample_idx)
     return jnp.mean((radiance - target) ** 2)

@@ -66,17 +66,136 @@ def test_fd_gradient_env_strength_param():
     np.testing.assert_allclose(float(g), float(fd), rtol=2e-2)
 
 
-def test_fd_gradient_camera_fov():
-    """Camera-parameter gradients flow (thin-lens/pinhole math is smooth;
-    visibility changes make this noisier — loose tolerance)."""
-    scene, params, cfg = plane_session(max_bounces=1)
+def _camera_grad_session():
+    """Infinite plane lit ONLY by the rectangular area light via NEE
+    (sample_impl=False): radiance varies smoothly with the hit position
+    (distance/cosine to the light), so camera parameters have nonzero
+    gradients and no visibility edges pollute finite differences. A
+    uniform-env uniform-plane scene is translation/zoom INVARIANT — its
+    camera gradients are exactly zero and would pass FD checks trivially."""
+    return plane_session(max_bounces=1, env_val=None, use_area_light=True,
+                         sample_impl=False)
 
-    def f(fov):
-        cam = params.camera.replace(fov=fov)
+
+def _fd_check_camera(field, x0, h, rtol=3e-2):
+    """Central finite difference vs autodiff for one camera scalar/vector
+    field (reference surface: Camera inside RenderParams,
+    src/geom.h:163-180)."""
+    scene, params, cfg = _camera_grad_session()
+
+    def f(x):
+        cam = params.camera.replace(**{field: x})
         return render_mean_scalar(scene, params.replace(camera=cam), cfg)
 
-    g = jax.grad(f)(jnp.float32(60.0))
-    assert np.isfinite(float(g))
+    g = jax.grad(f)(x0)
+    assert float(jnp.abs(g).sum()) > 0.0  # structured scene: nonzero grads
+    if x0.ndim == 0:
+        fd = (f(x0 + h) - f(x0 - h)) / (2 * h)
+        np.testing.assert_allclose(float(g), float(fd), rtol=rtol,
+                                   atol=1e-5)
+    else:
+        for axis in range(x0.shape[0]):
+            e = jnp.zeros_like(x0).at[axis].set(h)
+            fd = (f(x0 + e) - f(x0 - e)) / (2 * h)
+            np.testing.assert_allclose(float(g[axis]), float(fd), rtol=rtol,
+                                       atol=2e-4)
+
+
+def test_fd_gradient_camera_fov():
+    _fd_check_camera("fov", jnp.float32(60.0), 0.5)
+
+
+def test_fd_gradient_camera_pos():
+    _fd_check_camera("pos", jnp.array([0.0, 3.0, 0.0], jnp.float32), 1e-2)
+
+
+def test_fd_gradient_camera_focal_aperture():
+    """Thin-lens leaves: focal distance + aperture size (DoF path)."""
+    scene, params, cfg = _camera_grad_session()
+    cam0 = params.camera.replace(aperture_size=jnp.float32(0.02))
+
+    def f(ap, fd_):
+        cam = cam0.replace(aperture_size=ap, focal_dist=fd_)
+        return render_mean_scalar(scene, params.replace(camera=cam), cfg)
+
+    ap0, fd0 = jnp.float32(0.02), jnp.float32(2.5)
+    g = jax.grad(f, argnums=(0, 1))(ap0, fd0)
+    h = 1e-3
+    fd_ap = (f(ap0 + h, fd0) - f(ap0 - h, fd0)) / (2 * h)
+    fd_fd = (f(ap0, fd0 + h) - f(ap0, fd0 - h)) / (2 * h)
+    np.testing.assert_allclose(float(g[0]), float(fd_ap), rtol=3e-2,
+                               atol=1e-4)
+    np.testing.assert_allclose(float(g[1]), float(fd_fd), rtol=3e-2,
+                               atol=1e-4)
+
+
+def test_fd_gradient_ni_glossy():
+    """Index-of-refraction gradient through the glossy Fresnel weighting
+    (reference: src/glossy.cl:12-22 Ks<->eta derivation; ni feeds
+    fresnel_dielectric in eval). Loose tolerance: the Fresnel lobe CHOICE is
+    discrete in ni, so FD carries decision-flip noise."""
+    from fluctus_tpu.core.types import BXDF_GLOSSY
+    from fluctus_tpu.scene.loaders.obj import MtlMaterial
+    from helpers import big_quad, make_host_scene
+    from fluctus_tpu.core.types import RenderConfig, default_params
+
+    v0, v1, v2 = big_quad(y=0.0, half=500.0)
+    glossy = MtlMaterial(name="g", kd=(0.4, 0.4, 0.4), ks=(0.3, 0.3, 0.3),
+                         ns=120.0, ni=1.6, bsdf_type=BXDF_GLOSSY)
+    env = np.full((32, 64, 3), 1.0, np.float32)
+    host = make_host_scene(v0, v1, v2, materials=[glossy], env_image=env)
+    host.build_bvh(cache_dir=None, use_sbvh=False)
+    scene = host.to_device()
+    # sample_impl=False: radiance is then the bounce-0 NEE eval alone (the
+    # up-going glossy continuation ray misses the plane and implicit env is
+    # off), which is smooth in ni — the Fresnel lobe CHOICE in bsdf_sample
+    # is discrete in ni and would add decision-flip noise to the FD
+    cfg = RenderConfig(width=24, height=24, max_bounces=1,
+                       sample_impl=False,
+                       bsdf_types_mask=host.material_types_mask)
+    params = default_params(world_radius=host.world_radius())
+    cam = params.camera.replace(
+        pos=jnp.array([0.0, 3.0, 0.0], jnp.float32),
+        dir=jnp.array([0.0, -1.0, 0.0], jnp.float32),
+        up=jnp.array([0.0, 0.0, -1.0], jnp.float32),
+        right=jnp.array([1.0, 0.0, 0.0], jnp.float32))
+    params = params.replace(camera=cam)
+
+    pix = jnp.arange(cfg.width * cfg.height, dtype=jnp.uint32)
+
+    def f(scale):
+        mats = scene.materials.replace(ni=scene.materials.ni * scale)
+        s = scene.replace(materials=mats)
+        return jnp.mean(lockstep.sample_radiance(s, params, cfg, pix,
+                                                 jnp.uint32(0)))
+
+    g = jax.grad(f)(jnp.float32(1.0))
+    h = 5e-3
+    fd = (f(jnp.float32(1.0 + h)) - f(jnp.float32(1.0 - h))) / (2 * h)
+    assert np.isfinite(float(g)) and float(g) != 0.0
+    np.testing.assert_allclose(float(g), float(fd), rtol=3e-2, atol=1e-5)
+
+
+def test_loss_fn_camera_and_ni_leaves():
+    """loss_fn grafts camera + ni leaves and produces nonzero gradients
+    (the config-5 parameter surface; VERDICT r1 item 5)."""
+    scene, params, cfg = _camera_grad_session()
+    pix = jnp.arange(cfg.width * cfg.height, dtype=jnp.uint32)
+    target = lockstep.sample_radiance(scene, params, cfg, pix,
+                                      jnp.uint32(0)) * 0.8
+    diff = {"kd": scene.materials.kd,
+            "ni": scene.materials.ni,
+            "cam_pos": params.camera.pos,
+            "cam_fov": params.camera.fov,
+            "cam_focal_dist": params.camera.focal_dist}
+    loss, grads = jax.value_and_grad(loss_fn)(diff, scene, params, cfg,
+                                              pix, jnp.uint32(0), target)
+    assert np.isfinite(float(loss))
+    assert float(jnp.abs(grads["kd"]).sum()) > 0.0
+    assert float(jnp.abs(grads["cam_pos"]).sum()) > 0.0
+    assert float(jnp.abs(grads["cam_fov"])) > 0.0
+    for leaf in jax.tree_util.tree_leaves(grads):
+        assert np.isfinite(np.asarray(leaf)).all()
 
 
 def test_inverse_rendering_recovers_albedo():

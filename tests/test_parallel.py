@@ -18,6 +18,23 @@ def test_sharded_render_matches_single_device():
                                rtol=1e-5, atol=1e-6)
 
 
+def test_sharded_stream_matches_single_device():
+    """Sharded streaming wavefront == single-device stream (up to per-pixel
+    summation order): per-shard pools, spawn budgets, and binning sorts;
+    VERDICT r1 item 4."""
+    scene, params, cfg = plane_session()
+    mesh = pmesh.make_mesh(jax.devices()[:8])
+    from fluctus_tpu.integrators import wavefront
+    single, c1 = wavefront.render_stream(scene, params, cfg, 2)
+    sharded, c8 = pmesh.render_stream_sharded(scene, params, cfg, 2, mesh)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single),
+                               rtol=1e-5, atol=1e-6)
+    # shard-local spawn budgets cover the frame exactly (plus phantom tail)
+    n_pix = cfg.width * cfg.height
+    n_loc = -(-n_pix // 8)
+    assert int(np.asarray(c8)[:, 0].sum()) == n_loc * 8 * 2
+
+
 def test_grad_step_sharded_matches_unsharded():
     """GSPMD psum of scene-parameter grads: sharded and unsharded gradient
     steps agree (the gradient all-reduce of SURVEY §2.4)."""
