@@ -30,6 +30,7 @@ class BuiltBVH:
     node_parent: np.ndarray  # (N,) i32
     prim_idx: np.ndarray     # (K,) i32
     depth: int = 0
+    stats: dict | None = None  # SBVH duplication accounting (native builder)
 
     @property
     def n_nodes(self) -> int:

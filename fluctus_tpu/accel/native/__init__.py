@@ -54,6 +54,7 @@ def get_lib():
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float)] + [
         ctypes.POINTER(ctypes.c_int32)] * 4
     lib.fetch_arrays.restype = ctypes.c_int
+    lib.get_stats.argtypes = [ctypes.POINTER(ctypes.c_int64)] * 4
     lib.release.argtypes = []
     _lib = lib
     return _lib
@@ -104,7 +105,20 @@ def build_native(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
         node_count.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         node_parent.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         prim_idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    sn, du, ul, ur = (ctypes.c_int64() for _ in range(4))
+    lib.get_stats(ctypes.byref(sn), ctypes.byref(du), ctypes.byref(ul),
+                  ctypes.byref(ur))
     lib.release()
-    return BuiltBVH(node_lo=node_lo, node_hi=node_hi, node_right=node_right,
-                    node_count=node_count, node_parent=node_parent,
-                    prim_idx=prim_idx, depth=depth.value)
+    built = BuiltBVH(node_lo=node_lo, node_hi=node_hi,
+                     node_right=node_right, node_count=node_count,
+                     node_parent=node_parent, prim_idx=prim_idx,
+                     depth=depth.value)
+    built.stats = {
+        "spatial_nodes": sn.value, "duplicated": du.value,
+        "unsplit_left": ul.value, "unsplit_right": ur.value,
+        "refs": int(k), "tris": int(len(v0c)),
+        "duplication_pct": 100.0 * (k - len(v0c)) / max(len(v0c), 1),
+    }
+    if use_spatial and os.environ.get("FLUCTUS_BUILD_STATS", "0") == "1":
+        print(f"[sbvh] {built.stats}")
+    return built

@@ -67,6 +67,62 @@ struct Ref {
   }
 };
 
+// Sutherland-Hodgman clip of a convex polygon against one axis half-space.
+// keep_below keeps points with coord <= plane. Returns the vertex count.
+static int clip_poly(const Vec3 *in, int n_in, Vec3 *out, int axis,
+                     float plane, bool keep_below) {
+  int n_out = 0;
+  for (int i = 0; i < n_in; ++i) {
+    const Vec3 &a = in[i];
+    const Vec3 &b = in[(i + 1) % n_in];
+    float da = get(a, axis) - plane;
+    float db = get(b, axis) - plane;
+    bool ia = keep_below ? da <= 0.0f : da >= 0.0f;
+    bool ib = keep_below ? db <= 0.0f : db >= 0.0f;
+    if (ia) out[n_out++] = a;
+    if (ia != ib) {
+      float t = da / (da - db);
+      out[n_out++] = {a.x + t * (b.x - a.x), a.y + t * (b.y - a.y),
+                      a.z + t * (b.z - a.z)};
+    }
+  }
+  return n_out;
+}
+
+// Exact clipped bounds: AABB of (triangle `prim` clipped to the axis slab
+// [lo_p, hi_p]) intersected with the reference's current box (refs carry
+// ancestor-split bounds tighter than the full triangle). Invalid AABB when
+// the clipped polygon is empty — the triangle does not actually reach this
+// slab even though its reference box straddles it.
+struct TriClip {
+  const float *v0, *v1, *v2;
+  AABB slab_box(int prim, int axis, float lo_p, float hi_p,
+                const AABB &refbox) const {
+    Vec3 poly_a[8], poly_b[8];
+    poly_a[0] = {v0[3 * prim], v0[3 * prim + 1], v0[3 * prim + 2]};
+    poly_a[1] = {v1[3 * prim], v1[3 * prim + 1], v1[3 * prim + 2]};
+    poly_a[2] = {v2[3 * prim], v2[3 * prim + 1], v2[3 * prim + 2]};
+    int n = 3;
+    if (lo_p > -std::numeric_limits<float>::infinity()) {
+      n = clip_poly(poly_a, n, poly_b, axis, lo_p, false);
+      std::memcpy(poly_a, poly_b, n * sizeof(Vec3));
+    }
+    if (hi_p < std::numeric_limits<float>::infinity())
+      n = clip_poly(poly_a, n, poly_b, axis, hi_p, true);
+    else
+      std::memcpy(poly_b, poly_a, n * sizeof(Vec3));
+    AABB out;
+    for (int i = 0; i < n; ++i) {
+      out.lo = vmin(out.lo, poly_b[i]);
+      out.hi = vmax(out.hi, poly_b[i]);
+    }
+    if (!out.valid()) return out;
+    out.lo = vmax(out.lo, refbox.lo);
+    out.hi = vmin(out.hi, refbox.hi);
+    return out;
+  }
+};
+
 struct Builder {
   int max_leaf;
   int max_depth;
@@ -74,6 +130,12 @@ struct Builder {
   bool spatial;
   double root_area = 0.0;
   int depth_seen = 0;
+  TriClip tris{nullptr, nullptr, nullptr};
+  // duplication stats (reference logs these per build, src/sbvh.cpp:41-48)
+  int64_t n_spatial_nodes = 0;
+  int64_t n_duplicated = 0;
+  int64_t n_unsplit_left = 0;
+  int64_t n_unsplit_right = 0;
 
   std::vector<float> node_lo, node_hi;
   std::vector<int32_t> node_right, node_count, node_parent;
@@ -199,6 +261,8 @@ struct Builder {
     bool use_spatial = false;
     int s_axis = -1;
     float s_plane = 0.0f;
+    AABB s_lbox, s_rbox;        // bin-accumulated child boxes at the plane
+    int s_nl = 0, s_nr = 0;     // duplicate-counting child populations
     if (spatial && best_axis >= 0) {
       AABB ov;
       ov.lo = vmax(best_lbox.lo, best_rbox.lo);
@@ -223,15 +287,18 @@ struct Builder {
                 0, SPATIAL_BINS - 1);
             entry[b0]++;
             exit_[b1]++;
+            if (b1 == b0) {
+              bins[b0].grow(r.box);
+              continue;
+            }
+            // exact triangle clipping per spanned slab (not box chop):
+            // straddlers contribute only the geometry actually inside the
+            // bin, so bin boxes — and the SAH they drive — stay tight
             for (int b = b0; b <= b1; ++b) {
-              AABB clipped = r.box;
-              set(clipped.lo, axis,
-                  std::max(get(clipped.lo, axis),
-                           get(box.lo, axis) + b * width));
-              set(clipped.hi, axis,
-                  std::min(get(clipped.hi, axis),
-                           get(box.lo, axis) + (b + 1) * width));
-              bins[b].grow(clipped);
+              AABB clipped = tris.slab_box(
+                  r.prim, axis, get(box.lo, axis) + b * width,
+                  get(box.lo, axis) + (b + 1) * width, r.box);
+              if (clipped.valid()) bins[b].grow(clipped);
             }
           }
           AABB lt[SPATIAL_BINS], rt[SPATIAL_BINS];
@@ -256,6 +323,10 @@ struct Builder {
               s_cost = cost;
               s_axis = axis;
               s_plane = get(box.lo, axis) + (b + 1) * width;
+              s_lbox = lt[b];
+              s_rbox = rt[b + 1];
+              s_nl = nl;
+              s_nr = nr;
             }
           }
         }
@@ -265,22 +336,55 @@ struct Builder {
 
     std::vector<Ref> left, right;
     if (use_spatial) {
+      // Per-reference unsplit arbitration (SBVH reference unsplitting):
+      // compare the SAH of duplicating the straddler against absorbing its
+      // whole box into one child and removing it from the other. The bin
+      // boxes already contain every straddler's clipped contribution, so
+      // C_split needs no per-ref growth.
+      double a_l = s_lbox.area(), a_r = s_rbox.area();
+      double c_split = a_l * s_nl + a_r * s_nr;
+      int64_t dup = 0, ul = 0, ur = 0;
       for (const Ref &r : refs) {
         if (get(r.box.hi, s_axis) <= s_plane) {
           left.push_back(r);
         } else if (get(r.box.lo, s_axis) >= s_plane) {
           right.push_back(r);
         } else {
+          AABB gl = s_lbox;
+          gl.grow(r.box);
+          AABB gr = s_rbox;
+          gr.grow(r.box);
+          double c_ul = gl.area() * s_nl + a_r * (s_nr - 1);
+          double c_ur = a_l * (s_nl - 1) + gr.area() * s_nr;
           Ref l = r, g = r;
-          set(l.box.hi, s_axis, s_plane);
-          set(g.box.lo, s_axis, s_plane);
-          left.push_back(l);
-          right.push_back(g);
+          l.box = tris.slab_box(
+              r.prim, s_axis, -std::numeric_limits<float>::infinity(),
+              s_plane, r.box);
+          g.box = tris.slab_box(
+              r.prim, s_axis, s_plane,
+              std::numeric_limits<float>::infinity(), r.box);
+          if (!g.box.valid() || (c_ul < c_split && c_ul <= c_ur)) {
+            left.push_back(r);          // unsplit left: keep full box
+            ++ul;
+          } else if (!l.box.valid() || c_ur < c_split) {
+            right.push_back(r);
+            ++ur;
+          } else {
+            left.push_back(l);          // duplicate with exact clipped boxes
+            right.push_back(g);
+            ++dup;
+          }
         }
       }
       if (left.empty() || right.empty() ||
-          std::max(left.size(), right.size()) >= static_cast<size_t>(n))
+          std::max(left.size(), right.size()) >= static_cast<size_t>(n)) {
         use_spatial = false;
+      } else {
+        ++n_spatial_nodes;
+        n_duplicated += dup;
+        n_unsplit_left += ul;
+        n_unsplit_right += ur;
+      }
     }
     if (!use_spatial) {
       left.clear();
@@ -322,6 +426,7 @@ int build_hierarchy(const float *v0, const float *v1, const float *v2,
   g_last->max_depth = max_depth;
   g_last->alpha = alpha;
   g_last->spatial = use_spatial != 0;
+  g_last->tris = TriClip{v0, v1, v2};
 
   std::vector<Ref> refs(n_tris);
   AABB root;
@@ -360,6 +465,20 @@ int fetch_arrays(float *node_lo, float *node_hi, int32_t *node_right,
   std::memcpy(prim_idx, g_last->out_prims.data(),
               g_last->out_prims.size() * sizeof(int32_t));
   return 0;
+}
+
+// Spatial-split statistics of the last build (reference logs the same
+// duplication accounting, src/sbvh.cpp:41-48).
+void get_stats(int64_t *spatial_nodes, int64_t *duplicated,
+               int64_t *unsplit_left, int64_t *unsplit_right) {
+  if (!g_last) {
+    *spatial_nodes = *duplicated = *unsplit_left = *unsplit_right = 0;
+    return;
+  }
+  *spatial_nodes = g_last->n_spatial_nodes;
+  *duplicated = g_last->n_duplicated;
+  *unsplit_left = g_last->n_unsplit_left;
+  *unsplit_right = g_last->n_unsplit_right;
 }
 
 void release() {

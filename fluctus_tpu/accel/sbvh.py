@@ -6,11 +6,12 @@ builder arbitrates between the best full-sweep object SAH split
 (src/sbvh.cpp:159-223) and a chopped-binning spatial split
 (src/sbvh.cpp:243-324, 128 bins), gated by the α overlap threshold
 (src/sbvh.hpp:70-71); straddling references are split at the plane with
-unsplit-left/unsplit-right/duplicate SAH arbitration (src/sbvh.cpp:360-449).
-Differences by design: chopping clips reference AABBs against bin slabs
-(conservative superset of exact triangle clipping — bounds stay valid), and
-the tree flattens directly to the same BuiltBVH SoA arrays as the plain
-builder, with prim_idx carrying duplicated references.
+unsplit-left/unsplit-right/duplicate SAH arbitration (src/sbvh.cpp:360-449)
+and duplicated boxes come from exact triangle-plane clipping. Differences
+by design: BIN accumulation chops reference AABBs (conservative superset of
+exact clipping — bounds stay valid; the native builder.cpp clips exactly in
+bins too), and the tree flattens directly to the same BuiltBVH SoA arrays
+as the plain builder, with prim_idx carrying duplicated references.
 """
 from __future__ import annotations
 
@@ -51,8 +52,11 @@ def _spatial_split(lo, hi, node_lo, node_hi):
     """Chopped-binning spatial split: bin reference boxes into SPATIAL_BINS
     slabs per axis, clip boxes to slabs, evaluate SAH at bin boundaries.
 
-    Returns (cost, axis, plane) or (inf, None, None)."""
-    best = (np.inf, None, None)
+    Returns (cost, axis, plane, (l_lo, l_hi), (r_lo, r_hi), n_l, n_r) —
+    the bin-accumulated child boxes and duplicate-counting populations at
+    the chosen plane feed the per-reference unsplit arbitration — or
+    (inf, None, None, None, None, 0, 0)."""
+    best = (np.inf, None, None, None, None, 0, 0)
     n = len(lo)
     for axis in range(3):
         extent = node_hi[axis] - node_lo[axis]
@@ -98,8 +102,39 @@ def _spatial_split(lo, hi, node_lo, node_hi):
                         sa_l * n_left[:-1] + sa_r * n_right[1:], np.inf)
         i = int(np.argmin(cost))
         if cost[i] < best[0]:
-            best = (cost[i], axis, node_lo[axis] + (i + 1) * width)
+            best = (cost[i], axis, node_lo[axis] + (i + 1) * width,
+                    (lt_lo[i], lt_hi[i]), (rt_lo[i + 1], rt_hi[i + 1]),
+                    int(n_left[i]), int(n_right[i + 1]))
     return best
+
+
+def _clip_side_boxes(V, axis, plane, slo, shi):
+    """Exact per-triangle clipped AABBs on both sides of an axis plane,
+    intersected with each reference's current box.
+
+    V: (s, 3, 3) triangle vertices. Returns (llo, lhi, lval, rlo, rhi,
+    rval); a side is invalid when the triangle has no geometry there (its
+    reference box straddles only because of ancestor box-splits)."""
+    d = V[:, :, axis] - plane                       # (s, 3) signed dists
+    i0 = np.array([0, 1, 2])
+    i1 = np.array([1, 2, 0])
+    da, db = d[:, i0], d[:, i1]
+    cross = (da * db) < 0                           # edge crosses the plane
+    t = da / np.where(cross, da - db, 1.0)
+    P = V[:, i0] + t[..., None] * (V[:, i1] - V[:, i0])  # (s, 3, 3)
+
+    def side(keep):
+        vlo = np.where(keep[..., None], V, np.inf).min(axis=1)
+        vhi = np.where(keep[..., None], V, -np.inf).max(axis=1)
+        plo = np.where(cross[..., None], P, np.inf).min(axis=1)
+        phi = np.where(cross[..., None], P, -np.inf).max(axis=1)
+        blo = np.maximum(np.minimum(vlo, plo), slo)
+        bhi = np.minimum(np.maximum(vhi, phi), shi)
+        return blo, bhi, np.all(blo <= bhi, axis=1)
+
+    llo, lhi, lval = side(d <= 0)
+    rlo, rhi, rval = side(d >= 0)
+    return llo, lhi, lval, rlo, rhi, rval
 
 
 def build_sbvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
@@ -166,12 +201,11 @@ def build_sbvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
             if np.all(ov_hi > ov_lo):
                 overlap_sa = _surface_area(ov_lo, ov_hi)
                 if overlap_sa > alpha * root_sa:
-                    s_cost, s_axis, s_plane = _spatial_split(
-                        lo, hi, lo.min(0), hi.max(0))
+                    s_cost, s_axis, s_plane, s_lb, s_rb, s_nl, s_nr = \
+                        _spatial_split(lo, hi, lo.min(0), hi.max(0))
                     use_spatial = s_axis is not None and s_cost < o_cost
 
         if use_spatial:
-            c = (lo[:, s_axis] + hi[:, s_axis]) * 0.5
             fully_left = hi[:, s_axis] <= s_plane
             fully_right = lo[:, s_axis] >= s_plane
             straddle = ~fully_left & ~fully_right
@@ -186,20 +220,32 @@ def build_sbvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
                 sp_ = prim[straddle]
                 slo = lo[straddle]
                 shi = hi[straddle]
-                # duplicate with clipped boxes (unsplit arbitration per-ref
-                # simplified: duplicate unless one side's clip is empty)
-                clip_l_hi = shi.copy()
-                clip_l_hi[:, s_axis] = np.minimum(clip_l_hi[:, s_axis],
-                                                  s_plane)
-                clip_r_lo = slo.copy()
-                clip_r_lo[:, s_axis] = np.maximum(clip_r_lo[:, s_axis],
-                                                  s_plane)
-                lp.append(sp_)
-                ll.append(slo)
-                lh.append(clip_l_hi)
-                rp.append(sp_)
-                rl.append(clip_r_lo)
-                rh.append(shi)
+                # per-reference unsplit arbitration: duplicate only when
+                # the SAH of splitting beats absorbing the whole reference
+                # into one child. The bin boxes already contain every
+                # straddler's clipped contribution.
+                a_l = _surface_area(s_lb[0], s_lb[1])
+                a_r = _surface_area(s_rb[0], s_rb[1])
+                c_split = a_l * s_nl + a_r * s_nr
+                gl = _surface_area(np.minimum(s_lb[0], slo),
+                                   np.maximum(s_lb[1], shi))
+                gr = _surface_area(np.minimum(s_rb[0], slo),
+                                   np.maximum(s_rb[1], shi))
+                c_ul = gl * s_nl + a_r * (s_nr - 1)
+                c_ur = a_l * (s_nl - 1) + gr * s_nr
+                V = np.stack([v0[sp_], v1[sp_], v2[sp_]],
+                             axis=1).astype(np.float64)
+                cllo, clhi, lval, crlo, crhi, rval = _clip_side_boxes(
+                    V, s_axis, s_plane, slo, shi)
+                go_l = ~rval | ((c_ul < c_split) & (c_ul <= c_ur))
+                go_r = ~go_l & (~lval | (c_ur < c_split))
+                dup = ~go_l & ~go_r
+                lp += [sp_[go_l], sp_[dup]]
+                ll += [slo[go_l], cllo[dup]]
+                lh += [shi[go_l], clhi[dup]]
+                rp += [sp_[go_r], sp_[dup]]
+                rl += [slo[go_r], crlo[dup]]
+                rh += [shi[go_r], crhi[dup]]
             lprim = np.concatenate(lp)
             llo = np.concatenate(ll)
             lhi = np.concatenate(lh)

@@ -70,6 +70,36 @@ def test_sbvh_quality_not_worse_on_compact_tris(rng):
     assert len(sb.prim_idx) <= int(len(v0) * 1.6)
 
 
+def test_native_unsplit_arbitration_stats(rng):
+    """The native SBVH reports duplication accounting (reference logs the
+    same, src/sbvh.cpp:41-48) and the unsplit arbitration actually fires:
+    on long thin tris some straddlers duplicate AND some unsplit. Trees
+    with unsplit references must still traverse exactly."""
+    from fluctus_tpu.accel import native
+    if not native.available():
+        import pytest
+        pytest.skip("no g++ toolchain")
+    v0, v1, v2 = long_thin_tris(rng, m=400)
+    nb = native.build_native(v0, v1, v2, 8, 64, 1e-5, True)
+    st = nb.stats
+    assert st is not None and st["spatial_nodes"] > 0
+    assert st["duplicated"] > 0
+    assert st["unsplit_left"] + st["unsplit_right"] > 0
+    assert st["refs"] == len(nb.prim_idx)
+    assert st["duplication_pct"] == 100.0 * (st["refs"] - 400) / 400
+
+    dbvh = to_device_bvh(nb)
+    orig, dir = random_rays(rng, b=256)
+    res = traverse.traverse_closest(
+        dbvh, jnp.asarray(v0), jnp.asarray(v1), jnp.asarray(v2),
+        jnp.asarray(orig), jnp.asarray(dir), np.float32(1e30))
+    t_ref, prim_ref, _, _ = cpu_ref.intersect_closest(v0, v1, v2, orig, dir)
+    np.testing.assert_array_equal(np.asarray(res.prim) >= 0, prim_ref >= 0)
+    hit = prim_ref >= 0
+    np.testing.assert_allclose(np.asarray(res.t)[hit], t_ref[hit],
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_native_builder_parity(rng):
     """C++ builder produces the same tree as the NumPy reference builder
     (deterministic tie-breaking permitting: identical ref/node counts and
