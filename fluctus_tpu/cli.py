@@ -64,6 +64,12 @@ def build_parser():
     o.add_argument("--lr", type=float, default=1e-2)
     o.add_argument("--spp", type=int, default=4)
     o.add_argument("--out-dir", default="out/optimize")
+    o.add_argument("--minibatch", type=int, default=0,
+                   help="pixels per step (0 = full frame)")
+    o.add_argument("--diff-keys", default="kd",
+                   help="comma list: kd,ks,ns,ni,env_image,env_strength,"
+                        "cam_pos,cam_dir,cam_fov,cam_aperture_size,"
+                        "cam_focal_dist")
     return p
 
 
@@ -122,7 +128,8 @@ def cmd_optimize(args):
 
     run_optimization(make_session(args), target_path=args.target,
                      steps=args.steps, lr=args.lr, spp=args.spp,
-                     out_dir=args.out_dir)
+                     out_dir=args.out_dir, minibatch=args.minibatch,
+                     diff_keys=tuple(args.diff_keys.split(",")))
 
 
 def main(argv=None):

@@ -181,17 +181,16 @@ _CAM_FIELDS = ("pos", "dir", "up", "right", "fov", "aperture_size",
                "focal_dist")
 
 
-def loss_fn(diff_params, scene: DeviceScene, params, cfg, pixel_idx,
-            sample_idx, target):
-    """L2 image loss with differentiable leaves grafted into the scene and
-    render params.
+def graft(diff_params, scene: DeviceScene, params):
+    """Graft differentiable leaves into (scene, params).
 
     `diff_params` is a dict with any of: kd, ks, ns, ni (materials),
     env_image, env_strength, and camera fields cam_pos / cam_dir / cam_up /
     cam_right / cam_fov / cam_aperture_size / cam_focal_dist — the BASELINE
     config-5 parameter surface (reference: Camera lives inside RenderParams,
     src/geom.h:163-180). Gradients flow through the smooth shading/camera
-    math with fixed visibility (hit attributes are stop_gradient)."""
+    math with fixed visibility (the hit's primitive id is frozen; see
+    integrators/common.py trace reparameterization)."""
     mats = scene.materials
     if "kd" in diff_params:
         mats = mats.replace(kd=diff_params["kd"])
@@ -213,6 +212,14 @@ def loss_fn(diff_params, scene: DeviceScene, params, cfg, pixel_idx,
     params = params.replace(camera=cam)
     if "env_strength" in diff_params:
         params = params.replace(env_strength=diff_params["env_strength"])
+    return scene, params
+
+
+def loss_fn(diff_params, scene: DeviceScene, params, cfg, pixel_idx,
+            sample_idx, target):
+    """L2 image loss with differentiable leaves grafted into the scene and
+    render params (see graft for the parameter surface)."""
+    scene, params = graft(diff_params, scene, params)
     radiance = lockstep.sample_radiance(scene, params, cfg, pixel_idx,
                                         sample_idx)
     return jnp.mean((radiance - target) ** 2)

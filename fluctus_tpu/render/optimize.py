@@ -1,6 +1,21 @@
 """Inverse-rendering driver (new capability; BASELINE config 5): optimize
-scene parameters (material kd/ks/ns, env emission) against target images via
-pixel gradients, with optax + orbax checkpointing.
+scene parameters (materials, env emission, camera) against target images
+via pixel gradients, with optax + orbax checkpointing.
+
+Variance reduction (r1 verdict: the plain loop plateaued at the MC noise
+floor):
+  * paired-sample loss  mean((I_A - t) * (I_B - t))  with INDEPENDENT
+    sample sets A and B — its expectation is the true squared error
+    (the E[noise^2] floor cancels because A and B are uncorrelated), and
+    its gradient is the unbiased product estimator
+    (I_A - t) dI_B + (I_B - t) dI_A. The plain single-set loss gradient
+    carries a d(Var) term that points nowhere.
+  * stratified pixel minibatches: each step renders `minibatch` pixels,
+    one jittered per stratum, instead of the full frame — more optimizer
+    steps per sample budget.
+  * spp schedule: early steps run spp/4, ramping to the full spp over the
+    run (coarse gradients move parameters cheaply while far from the
+    optimum).
 """
 from __future__ import annotations
 
@@ -12,18 +27,43 @@ import numpy as np
 import optax
 
 from fluctus_tpu.integrators import lockstep
-from fluctus_tpu.parallel.mesh import loss_fn
+from fluctus_tpu.parallel.mesh import graft
+
+_DIFF_GETTERS = {
+    "kd": lambda s, p: s.materials.kd,
+    "ks": lambda s, p: s.materials.ks,
+    "ns": lambda s, p: s.materials.ns,
+    "ni": lambda s, p: s.materials.ni,
+    "env_image": lambda s, p: s.envmap.image,
+    "env_strength": lambda s, p: p.env_strength,
+    "cam_pos": lambda s, p: p.camera.pos,
+    "cam_dir": lambda s, p: p.camera.dir,
+    "cam_fov": lambda s, p: p.camera.fov,
+    "cam_aperture_size": lambda s, p: p.camera.aperture_size,
+    "cam_focal_dist": lambda s, p: p.camera.focal_dist,
+}
+
+
+def spp_schedule(steps: int, spp: int):
+    """(n_steps, spp) phases ramping spp/4 -> spp/2 -> spp over the run."""
+    if spp < 4:
+        return [(steps, spp)]
+    p1, p2 = int(steps * 0.4), int(steps * 0.3)
+    return [(p1, max(1, spp // 4)), (p2, max(1, spp // 2)),
+            (steps - p1 - p2, spp)]
 
 
 def run_optimization(session, target_path: str, steps: int = 100,
                      lr: float = 1e-2, spp: int = 4,
                      out_dir: str = "out/optimize",
                      diff_keys=("kd",), log_every: int = 10,
-                     checkpoint_every: int = 50, resume: bool = True):
+                     checkpoint_every: int = 50, resume: bool = True,
+                     minibatch: int = 0):
     """Adam loop on selected scene parameters vs a linear .hdr target, with
     orbax checkpointing of (params, optimizer state, step) for restart
     (capability the reference lacks — SURVEY §5.3/§5.4 notes the TPU build
-    needs real optimizer checkpointing)."""
+    needs real optimizer checkpointing). minibatch = pixels per step
+    (0 = full frame)."""
     from fluctus_tpu.io.hdr import read_hdr
 
     os.makedirs(out_dir, exist_ok=True)
@@ -32,20 +72,13 @@ def run_optimization(session, target_path: str, steps: int = 100,
     assert target_img.shape[:2] == (cfg.height, cfg.width), \
         f"target {target_img.shape} vs render {cfg.height}x{cfg.width}"
     target = jnp.asarray(target_img.reshape(-1, 3))
+    n_pix = cfg.width * cfg.height
+    mb = n_pix if minibatch <= 0 else min(minibatch, n_pix)
 
-    diff = {}
-    if "kd" in diff_keys:
-        diff["kd"] = scene.materials.kd
-    if "ks" in diff_keys:
-        diff["ks"] = scene.materials.ks
-    if "ns" in diff_keys:
-        diff["ns"] = scene.materials.ns
-    if "env_image" in diff_keys:
-        diff["env_image"] = scene.envmap.image
+    diff = {k: _DIFF_GETTERS[k](scene, params) for k in diff_keys}
 
     tx = optax.adam(lr)
     opt_state = tx.init(diff)
-    pixel_idx = jnp.arange(cfg.width * cfg.height, dtype=jnp.uint32)
 
     # --- checkpoint/resume (orbax)
     import orbax.checkpoint as ocp
@@ -62,26 +95,52 @@ def run_optimization(session, target_path: str, steps: int = 100,
         start_step = mngr.latest_step() + 1
         print(f"resumed from checkpoint step {mngr.latest_step()}")
 
-    @jax.jit
-    def step(diff, opt_state, sample_idx):
-        def spp_loss(d):
-            losses = 0.0
-            for k in range(spp):
-                losses = losses + loss_fn(d, scene, params, cfg, pixel_idx,
-                                          sample_idx * spp + k, target)
-            return losses / spp
+    def make_step(cur_spp: int):
+        @jax.jit
+        def step(diff, opt_state, step_idx):
+            # stratified minibatch: one jittered pixel per stratum
+            stride = n_pix // mb
+            key = jax.random.fold_in(jax.random.PRNGKey(0x0F17), step_idx)
+            if stride > 1:
+                jit_off = jax.random.randint(key, (mb,), 0, stride)
+                pix = (jnp.arange(mb, dtype=jnp.uint32) * stride
+                       + jit_off.astype(jnp.uint32))
+            else:
+                pix = jnp.arange(mb, dtype=jnp.uint32)
+            tgt = target[pix]
 
-        loss, grads = jax.value_and_grad(spp_loss)(diff)
-        updates, opt_state = tx.update(grads, opt_state)
-        diff = optax.apply_updates(diff, updates)
-        return diff, opt_state, loss
+            def render(d, s_idx):
+                s, p = graft(d, scene, params)
+                acc = 0.0
+                for k in range(cur_spp):
+                    acc = acc + lockstep.sample_radiance(
+                        s, p, cfg, pix, s_idx * cur_spp + k)
+                return acc / cur_spp
+
+            def pair_loss(d):
+                ia = render(d, step_idx * 2)
+                ib = render(d, step_idx * 2 + 1)
+                return jnp.mean((ia - tgt) * (ib - tgt))
+
+            loss, grads = jax.value_and_grad(pair_loss)(diff)
+            updates, opt_state_n = tx.update(grads, opt_state)
+            return optax.apply_updates(diff, updates), opt_state_n, loss
+        return step
 
     history = []
+    phases = spp_schedule(steps, spp)
+    bounds = np.cumsum([n for n, _ in phases])
+    step_fns = {}
     for i in range(start_step, steps):
-        diff, opt_state, loss = step(diff, opt_state, jnp.uint32(i))
+        ph = int(np.searchsorted(bounds, i, side="right"))
+        cur_spp = phases[min(ph, len(phases) - 1)][1]
+        if cur_spp not in step_fns:
+            step_fns[cur_spp] = make_step(cur_spp)
+        diff, opt_state, loss = step_fns[cur_spp](diff, opt_state,
+                                                  jnp.uint32(i))
         history.append(float(loss))
         if i % log_every == 0:
-            print(f"step {i}: loss {float(loss):.6f}")
+            print(f"step {i}: loss {float(loss):.6f} (spp {cur_spp})")
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             mngr.save(i, args=ocp.args.StandardSave(
                 {"diff": diff, "opt_state": opt_state}))

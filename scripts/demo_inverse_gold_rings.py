@@ -9,6 +9,9 @@ from __future__ import annotations
 
 import argparse
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -25,14 +28,14 @@ def main():
     ap.add_argument("--size", type=int, default=96)
     ap.add_argument("--steps", type=int, default=60)
     ap.add_argument("--lr", type=float, default=0.05)
-    ap.add_argument("--spp", type=int, default=2)
+    ap.add_argument("--spp", type=int, default=4)
+    ap.add_argument("--minibatch", type=int, default=2048)
     ap.add_argument("--out-dir", default="out/gold_rings")
     args = ap.parse_args()
 
     from fluctus_tpu.core.types import RenderConfig
     from fluctus_tpu.integrators import lockstep
     from fluctus_tpu.io.image import save_image
-    from fluctus_tpu.parallel.mesh import loss_fn
     from fluctus_tpu.render import driver
 
     os.makedirs(args.out_dir, exist_ok=True)
@@ -75,29 +78,20 @@ def main():
     save_image(os.path.join(args.out_dir, "before.hdr"),
                np.asarray(before).reshape(cfg.height, cfg.width, 3))
 
-    import optax
-    tx = optax.adam(args.lr)
-    diff = {"kd": kd, "ks": ks}
-    opt_state = tx.init(diff)
+    # variance-reduced optimize driver: stratified pixel minibatches,
+    # paired-sample unbiased loss, spp schedule (render/optimize.py)
+    from fluctus_tpu.render.driver import RenderSession
+    from fluctus_tpu.render.optimize import run_optimization
 
-    @jax.jit
-    def step(diff, opt_state, i):
-        def loss(d):
-            total = 0.0
-            for k in range(args.spp):
-                total = total + loss_fn(d, scene, params, cfg, pix,
-                                        i * args.spp + k, target)
-            return total / args.spp
-        l, g = jax.value_and_grad(loss)(diff)
-        updates, opt_state = tx.update(g, opt_state)
-        return optax.apply_updates(diff, updates), opt_state, l
-
-    losses = []
-    for i in range(args.steps):
-        diff, opt_state, l = step(diff, opt_state, jnp.uint32(i))
-        losses.append(float(l))
-        if i % 10 == 0:
-            print(f"step {i}: loss {float(l):.6f}", flush=True)
+    scene_p = scene.replace(
+        materials=scene.materials.replace(kd=kd, ks=ks))
+    sess_p = RenderSession(host_scene=None, scene=scene_p, params=params,
+                           cfg=cfg)
+    diff, losses = run_optimization(
+        sess_p, os.path.join(args.out_dir, "target.hdr"),
+        steps=args.steps, lr=args.lr, spp=args.spp,
+        out_dir=args.out_dir, diff_keys=("kd", "ks"),
+        minibatch=args.minibatch, checkpoint_every=0, resume=False)
 
     after = render_once(diff["kd"], diff["ks"], jnp.uint32(0))
     save_image(os.path.join(args.out_dir, "after.hdr"),
