@@ -56,6 +56,16 @@ def scaling_benchmark(scene, params, cfg, spp: int = 1,
     for n in device_counts:
         m = pmesh.make_mesh(devices[:n])
         s, p = pmesh.place(scene, params, m)
+        # assert the layout actually PARTITIONS the ray axis: a mis-sharded
+        # (silently replicated) layout would still report efficiency ~ 1
+        # because rays_per_sample here is analytic (r1 verdict, weak 9)
+        pad = (-n_pix) % n
+        probe = jax.device_put(jnp.arange(n_pix + pad, dtype=jnp.uint32),
+                               pmesh.ray_sharded(m))
+        sizes = {sh.data.shape[0] for sh in probe.addressable_shards}
+        assert sizes == {(n_pix + pad) // n}, (
+            f"ray axis not partitioned over {n} devices: shard sizes "
+            f"{sizes}")
         # compile + warm
         img = pmesh.render_sharded(s, p, cfg, 1, m)
         img.block_until_ready()

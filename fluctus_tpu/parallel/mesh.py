@@ -40,7 +40,18 @@ def ray_sharded(mesh: Mesh) -> NamedSharding:
 
 
 def place(scene: DeviceScene, params: RenderParams, mesh: Mesh):
-    """Replicate scene + params across the mesh."""
+    """Replicate scene + params across the mesh.
+
+    Multi-process: device_put to a replicated sharding runs a cross-process
+    equality assert that is NaN-hostile (BVH leaf tables carry NaN padding
+    from int-bit reinterpretation, and NaN != NaN) — go through the
+    host-local -> global path instead, which trusts each process's local
+    copy."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        host = jax.tree_util.tree_map(np.asarray, (scene, params))
+        return multihost_utils.host_local_array_to_global_array(
+            host, mesh, P())
     rep = replicated(mesh)
     scene = jax.device_put(scene, rep)
     params = jax.device_put(params, rep)
