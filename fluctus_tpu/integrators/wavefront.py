@@ -468,7 +468,8 @@ def render_stream(scene: DeviceScene, params: RenderParams,
     # --- scatter-free binning: sort by pixel, reshape-sum groups of spp.
     rows = [jnp.concatenate([c[i].reshape(-1) for c in chunks])
             for i in range(4)]
-    img, n_done = _bin_rows(bucket_rows(rows, total), n_pix, spp)
+    img, n_done = _bin_rows(
+        bucket_rows(rows, total, pool * segments_per_launch), n_pix, spp)
     if int(n_done) != total:
         raise RuntimeError(
             f"stream drain incomplete: {int(n_done)}/{total} samples "
@@ -476,14 +477,17 @@ def render_stream(scene: DeviceScene, params: RenderParams,
     return img.reshape(cfg.height, cfg.width, 3), counters
 
 
-def bucket_rows(rows, total: int):
-    """Pad (r, g, b, pix) sample rows to the next power of two (>= total):
-    row count = launches*segments*pool varies with the RR drain length, and
-    without bucketing every distinct drain length retraces the
-    multi-million-element binning sort (empty rows carry pix=-1 and sort to
-    the back)."""
+def bucket_rows(rows, total: int, quantum: int = 1):
+    """Pad (r, g, b, pix) sample rows up to a multiple of `quantum` (and
+    >= total): row count = launches*segments*pool varies with the RR drain
+    length, and each distinct length traces the multi-million-element
+    binning sort once (empty rows carry pix=-1 and sort to the back).
+    Quantum = pool*segments_per_launch, the per-launch row count, so
+    padding never inflates the sort (an earlier pow2 bucket cost ~18%
+    frame time on the fixed-shape bench); distinct launch counts are few
+    and each compiles once."""
     n_rows = rows[0].shape[0]
-    bucket = max(1 << (int(n_rows) - 1).bit_length(), total)
+    bucket = max(n_rows, -(-total // quantum) * quantum)
     pad = bucket - n_rows
     if pad:
         rows = [jnp.concatenate([r, jnp.zeros((pad,), r.dtype)])

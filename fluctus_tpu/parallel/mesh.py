@@ -125,7 +125,7 @@ def _stream_sharded_fns(mesh: Mesh, cfg: RenderConfig, spp: int, n_seg: int,
         pix = jnp.where(pix >= 0, pix - base, -1)
         flat = [x.reshape(-1) for x in (r, g, b, pix)]
         img, n_done = wavefront._bin_rows(
-            wavefront.bucket_rows(flat, total_loc), n_loc, spp)
+            wavefront.bucket_rows(flat, total_loc, pool * n_seg), n_loc, spp)
         return img, n_done[None]
 
     sharded = P(RAY_AXIS)
