@@ -18,6 +18,9 @@ import numpy as np
 
 MAX_LEAF = 8      # reference: src/sbvh.hpp:38 / src/bvh.hpp:64-68
 MAX_DEPTH = 64
+# Bump on ANY builder-quality change (either builder, C++ or NumPy): the
+# hierarchy cache key includes this so improvements reach cached scenes.
+BUILDER_VERSION = 2
 
 
 @dataclass
@@ -38,6 +41,24 @@ class BuiltBVH:
 
     def scene_bounds(self) -> tuple[np.ndarray, np.ndarray]:
         return self.node_lo[0].copy(), self.node_hi[0].copy()
+
+
+def sah_cost(bvh: BuiltBVH, c_trav: float = 1.0,
+             c_isect: float = 1.0) -> float:
+    """Expected traversal SAH cost of a built tree (MacDonald-Booth):
+    sum over interior nodes of SA(n)*c_trav plus over leaves of
+    SA(n)*nPrims*c_isect, normalized by root surface area. Used to compare
+    tree QUALITY across builders whose float tie-breaks differ (the C++ and
+    NumPy SBVH builders are independent implementations of
+    /root/reference/src/sbvh.cpp's algorithm, not bit-identical)."""
+    lo = bvh.node_lo.astype(np.float64)
+    hi = bvh.node_hi.astype(np.float64)
+    sa = _surface_area(lo, hi)
+    leaf = bvh.node_count > 0
+    root_sa = max(sa[0], 1e-30)
+    return float((sa[~leaf].sum() * c_trav
+                  + (sa[leaf] * bvh.node_count[leaf]).sum() * c_isect)
+                 / root_sa)
 
 
 def _surface_area(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:

@@ -283,9 +283,14 @@ def wavefront_iteration(scene: DeviceScene, params: RenderParams,
     return state, framebuffer, counters
 
 
-def render(scene: DeviceScene, params: RenderParams, cfg: RenderConfig,
-           spp: int, max_iters: int | None = None):
-    """Render until every pixel has ≥ spp samples on average
+def render_scatter_reference(scene: DeviceScene, params: RenderParams,
+                             cfg: RenderConfig, spp: int,
+                             max_iters: int | None = None):
+    """REFERENCE-PARITY form, NOT a production path: renders with the
+    reference's per-segment scatter splat (~4 us/update on TPU — vastly
+    slower than render_stream; see wavefront_iteration). Kept for parity
+    tests of the striding-respawn policy against arbitrary pool/image
+    ratios. Renders until every pixel has >= spp samples on average
     (reference analogue: interactive accumulation until convergence).
     Returns (H, W, 3) radiance (framebuffer normalized by sample counts)."""
     n_pix = cfg.width * cfg.height

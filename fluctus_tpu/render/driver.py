@@ -3,7 +3,6 @@ scene setup, camera framing, batch renders, postprocessed export.
 """
 from __future__ import annotations
 
-import time
 from dataclasses import dataclass
 from functools import partial
 
@@ -251,30 +250,22 @@ def render_denoised(session: RenderSession, spp: int, blend: float = 1.0,
     return np.asarray(out)
 
 
-def mrays_benchmark(session: RenderSession, spp: int = 4):
-    """Measure wall-clock and derive MRays/s accounting primary + extension +
-    shadow rays like the reference's stats (src/clcontext.cpp:648-656).
+def mrays_benchmark(session: RenderSession, duration_s: float = 10.0,
+                    integrator: str = "auto"):
+    """MRays/s for the session's integrator, delegating to
+    render/benchmark.py so the ray accounting is honest PER INTEGRATOR:
+    lockstep uses the analytic every-lane bound, the stream uses the ACTUAL
+    queue populations from the renderer's counters (the stream terminates
+    paths early — the analytic bound overstates its throughput). Reference
+    stats analogue: src/clcontext.cpp:648-656 / src/tracer.cpp:333-345."""
+    from fluctus_tpu.render import benchmark as bm
 
-    Ray counting: each sample traces (max_bounces+1) extension rays and, when
-    NEE is on, one shadow ray per light per non-delta bounce — counted
-    analytically from the config (upper bound, matching reference WF
-    accounting by queue sizes)."""
-    cfg = session.cfg
-    n_pix = cfg.width * cfg.height
-    # warmup/compile
-    _ = render(session, 1)
-    t0 = time.perf_counter()
-    _ = render(session, spp)
-    dt = time.perf_counter() - t0
-    bounces = cfg.max_bounces + 1
-    n_lights = (1 if cfg.use_env_map else 0) + (1 if cfg.use_area_light else 0)
-    ext_rays = n_pix * spp * bounces
-    shadow_rays = n_pix * spp * bounces * (n_lights if cfg.sample_expl else 0)
-    total = ext_rays + shadow_rays
-    return {
-        "wall_s": dt,
-        "samples_per_s": n_pix * spp / dt,
-        "mrays_per_s": total / dt / 1e6,
-        "ext_mrays_per_s": ext_rays / dt / 1e6,
-        "shadow_mrays_per_s": shadow_rays / dt / 1e6,
-    }
+    if integrator == "auto":
+        if session.integrator_choice is None:
+            session.integrator_choice = choose_integrator(session)
+        integrator = session.integrator_choice
+    run = (bm.run_benchmark_stream if integrator == "stream"
+           else bm.run_benchmark)
+    out = run(session, duration_s=duration_s)
+    out["integrator"] = integrator
+    return out

@@ -102,8 +102,12 @@ class HostScene:
         cache_path = None
         if cache_dir and self.hash:
             kind = "sbvh" if use_sbvh else "bvh"
-            cache_path = os.path.join(cache_dir,
-                                      f"hierarchy_{kind}_{self.hash}.npz")
+            # algorithm-version key: builder quality changes must invalidate
+            # stale cache entries (the reference keys only by scene hash,
+            # src/tracer.cpp:574-590, because its builder never changes)
+            ver = bvh_mod.BUILDER_VERSION
+            cache_path = os.path.join(
+                cache_dir, f"hierarchy_{kind}_v{ver}_{self.hash}.npz")
             if os.path.exists(cache_path):
                 z = np.load(cache_path)
                 self.bvh = bvh_mod.BuiltBVH(

@@ -13,7 +13,7 @@ def test_wavefront_matches_lockstep():
     """Both integrators estimate the same integral on the analytic plane."""
     scene, params, cfg = plane_session()
     cfg = cfg.replace(pool_size=1 << 14)
-    wf = float(jnp.mean(wavefront.render(scene, params, cfg, spp=32)))
+    wf = float(jnp.mean(wavefront.render_scatter_reference(scene, params, cfg, spp=32)))
     ls = float(jnp.mean(lockstep.render(scene, params, cfg, spp=32)))
     np.testing.assert_allclose(wf, RHO_LIN, rtol=0.02)
     np.testing.assert_allclose(ls, RHO_LIN, rtol=0.02)
@@ -24,7 +24,7 @@ def test_wavefront_pool_smaller_than_image():
     smaller than the pixel count (reference: wf_raygen.cl:25)."""
     scene, params, cfg = plane_session()
     cfg = cfg.replace(pool_size=64)  # 24x24=576 pixels, pool of 64
-    img = wavefront.render(scene, params, cfg, spp=2)
+    img = wavefront.render_scatter_reference(scene, params, cfg, spp=2)
     # every pixel must have received samples (no zeros from striding gaps)
     assert float(jnp.min(jnp.mean(img, axis=-1))) > 0.1
 
@@ -33,7 +33,7 @@ def test_wavefront_roulette_terminates():
     """Russian roulette on: renders finish and stay unbiased-ish."""
     scene, params, cfg = plane_session(max_bounces=1)
     cfg = cfg.replace(pool_size=1 << 12, use_roulette=True)
-    img = wavefront.render(scene, params, cfg, spp=16, max_iters=600)
+    img = wavefront.render_scatter_reference(scene, params, cfg, spp=16, max_iters=600)
     m = float(jnp.mean(img))
     np.testing.assert_allclose(m, RHO_LIN, rtol=0.1)
 
