@@ -172,16 +172,26 @@ def _segment_core(scene: DeviceScene, params: RenderParams,
     use_area = 1 if cfg.use_area_light else 0
     env_prob = use_env / max(1, use_env + use_area)
 
-    # --- logic: Russian roulette (wf_logic.cl:60-69)
-    terminate = path_len >= (cfg.max_bounces + 1)
+    # --- max-bounce cutoff + Russian roulette (wf_logic.cl:60-69).
+    # Boundary semantics: the reference's OWN integrators disagree at the
+    # cutoff — wf_logic.cl:62,84 terminates BEFORE collecting the final
+    # segment's implicit hit / NEE, while mk_next_vertex.cl:72-117 collects
+    # it. We unify on the MK semantics everywhere (matching our lockstep
+    # bit-for-bit): the final traced segment's radiance is collected — the
+    # estimator is still the truncated-path estimator, and the already-paid
+    # trace isn't wasted. RR (which only extends PAST the cutoff) gates the
+    # continuation only; its throughput boost applies to tail vertices.
+    cut = path_len >= (cfg.max_bounces + 1)
+    rr_term = cut
+    t_cont = t
     if cfg.use_roulette:
         cont_prob = jnp.clip(vm.luminance(t), 0.01, 0.5)
         u_rr = rng.uniform(pix, samp, bounce, rng.Streams.ROULETTE)
         survive = u_rr <= cont_prob
-        t = vm.where3(terminate & survive, t / cont_prob[..., None], t)
-        terminate = terminate & ~survive
+        t_cont = vm.where3(cut & survive, t / cont_prob[..., None], t)
+        rr_term = cut & ~survive
 
-    # --- implicit env hit (wf_logic.cl:84-107)
+    # --- implicit env hit (mk_next_vertex.cl:72-96)
     miss = hit.prim < 0
     if cfg.use_env_map:
         bg = env_ops.eval_dir(scene.envmap, state.dir) * params.env_strength
@@ -191,20 +201,19 @@ def _segment_core(scene: DeviceScene, params: RenderParams,
             scene, params, cfg, state.dir, state.last_pdf_w,
             state.last_specular, path_len, jnp.float32(env_prob))
         add = w_env[..., None] * t * bg
-        ei = ei + vm.where3(miss & ~terminate, add, jnp.zeros_like(ei))
+        ei = ei + vm.where3(miss, add, jnp.zeros_like(ei))
 
-    # --- implicit area hit (wf_logic.cl:109-132)
+    # --- implicit area hit (mk_next_vertex.cl:98-117)
     if cfg.use_area_light and cfg.sample_impl:
         w_area = common.implicit_area_weight(
             params, cfg, hit, state.orig, state.dir, state.last_pdf_w,
             state.last_specular, path_len, jnp.float32(1.0 - env_prob))
         add = w_area[..., None] * t * params.area_light.emission
-        ei = ei + vm.where3(hit.area_light & ~terminate, add,
-                            jnp.zeros_like(ei))
+        ei = ei + vm.where3(hit.area_light, add, jnp.zeros_like(ei))
 
-    terminate = terminate | miss | hit.area_light
-
-    # --- shading + NEE + continuation for survivors
+    # --- shading + NEE at the hit vertex (incl. the cutoff vertex —
+    # lockstep's last scan iteration does the same)
+    live_vertex = ~miss & ~hit.area_light
     ctx = common.make_shading_ctx(scene, hit, state.dir)
     sh_orig = hit.p - common.OFFSET_SHADOW * state.dir
     singular = bsdf_mod.is_singular(ctx.bsdf_id)
@@ -212,8 +221,11 @@ def _segment_core(scene: DeviceScene, params: RenderParams,
     if cfg.sample_expl and (cfg.use_env_map or cfg.use_area_light):
         contrib, _ = _nee_single_light(scene, params, cfg, ctx, sh_orig,
                                        state.dir, types, pix, samp, bounce)
-        nee_mask = ~terminate & ~singular
+        nee_mask = live_vertex & ~singular
         ei = ei + vm.where3(nee_mask, t * contrib, jnp.zeros_like(ei))
+
+    terminate = ~live_vertex | rr_term
+    t = t_cont
 
     u1 = rng.uniform(pix, samp, bounce, rng.Streams.BSDF_U)
     u2 = rng.uniform(pix, samp, bounce, rng.Streams.BSDF_V)
