@@ -69,3 +69,16 @@ def test_scaling_benchmark_machinery():
     assert [r["devices"] for r in res] == [1, 2, 4]
     assert all(r["mrays_s"] > 0 for r in res)
     assert res[0]["efficiency"] == 1.0
+
+
+def test_scaling_benchmark_stream():
+    """The sharded STREAM wavefront runs under the scaling protocol with
+    actual-ray accounting and per-shard balance (r2 verdict weak 6)."""
+    scene, params, cfg = plane_session()
+    res = distributed.scaling_benchmark(scene, params, cfg, spp=2,
+                                        device_counts=[1, 4],
+                                        integrator="stream")
+    assert [r["devices"] for r in res] == [1, 4]
+    assert all(r["mrays_s"] > 0 for r in res)
+    # every shard spawned/traced rays (balance strictly positive)
+    assert all(0.0 < r["shard_ray_balance"] <= 1.0 for r in res)
