@@ -78,6 +78,15 @@ def create_session(scene_path: str, env_map: str | None = None,
         use_env_map=cfg.use_env_map and host.envmap is not None,
     )
     params = default_params(world_radius=host.world_radius())
+    if host.area_light_hint is not None:
+        # PBRT AreaLightSource quad emitter (loaders/pbrt.py): light the
+        # scene the way the file intended — the reference skips these
+        # (src/scene.cpp:620-621)
+        from fluctus_tpu.core.types import AreaLight
+        al = {k: jnp.asarray(v, jnp.float32)
+              for k, v in host.area_light_hint.items()}
+        params = params.replace(area_light=AreaLight(**al))
+        cfg = cfg.replace(use_area_light=True)
     if auto_frame:
         params = auto_frame_camera(params, host)
     if state_dir:

@@ -66,6 +66,8 @@ class HostScene:
     map_kd: np.ndarray | None = None
     map_ks: np.ndarray | None = None
     map_n: np.ndarray | None = None
+    # quad-emitter frame parsed from a PBRT AreaLightSource (loaders/pbrt.py)
+    area_light_hint: dict | None = None
 
     @property
     def n_tris(self) -> int:
@@ -285,6 +287,7 @@ def load_scene(path: str, env_map: str | None = None) -> HostScene:
     """Load a model by extension (reference: src/scene.cpp:53-103)."""
     ext = os.path.splitext(path)[1].lower()
     pool = TexturePool()
+    area_light_hint = None
     if ext == ".ply":
         v0, v1, v2, n0, n1, n2, uv0, uv1, uv2 = load_ply(path)
         mats = [default_material()]
@@ -315,7 +318,7 @@ def load_scene(path: str, env_map: str | None = None) -> HostScene:
     elif ext == ".pbrt":
         from fluctus_tpu.scene.loaders.pbrt import load_pbrt
         (v0, v1, v2, n0, n1, n2, uv0, uv1, uv2, mat_id,
-         pbrt_mats) = load_pbrt(path)
+         pbrt_mats, area_light_hint) = load_pbrt(path)
         mats = [default_material()] + pbrt_mats
         folder = os.path.dirname(path)
         map_kd = np.full(len(mats), -1, np.int32)
@@ -339,6 +342,7 @@ def load_scene(path: str, env_map: str | None = None) -> HostScene:
         hash=file_hash(path), name=os.path.basename(path))
     if map_arrays is not None:
         scene.map_kd, scene.map_ks, scene.map_n = map_arrays
+    scene.area_light_hint = area_light_hint
     if env_map:
         scene.load_env_map(env_map)
     return scene

@@ -40,7 +40,9 @@ WorldEnd
 def test_pbrt_parse(tmp_path):
     f = tmp_path / "scene.pbrt"
     f.write_text(PBRT_SCENE)
-    (v0, v1, v2, n0, n1, n2, uv0, uv1, uv2, mat_id, mats) = load_pbrt(str(f))
+    (v0, v1, v2, n0, n1, n2, uv0, uv1, uv2, mat_id, mats,
+     area_light) = load_pbrt(str(f))
+    assert area_light is None
     assert len(v0) == 4  # 2 quad tris + 1 glass + 1 mirror
     types = [m.bsdf_type for m in mats]
     assert BXDF_DIFFUSE in types and BXDF_IDEAL_DIELECTRIC in types \
@@ -75,7 +77,7 @@ Material "plastic" "rgb Kd" [.5 .5 .5] "rgb Ks" [.5 .5 .5] "float roughness" [0.
 Shape "trianglemesh" "point3 P" [0 0 0 1 0 0 0 1 0] "integer indices" [0 1 2]
 WorldEnd
 """)
-    *_, mat_id, mats = load_pbrt(str(f))
+    *_, mat_id, mats, _al = load_pbrt(str(f))
     glossy = [m for m in mats if m.bsdf_type == BXDF_GLOSSY][0]
     # reference convertRoughness: (1-0.1)*5000
     np.testing.assert_allclose(glossy.ns, 4500.0)
@@ -100,3 +102,87 @@ WorldEnd
     assert [m for m in fresh[10]] == [m for m in cached[10]] or all(
         ma.kd == mb.kd and ma.ns == mb.ns and ma.bsdf_type == mb.bsdf_type
         for ma, mb in zip(fresh[10], cached[10]))
+
+
+PBRT_BOOK_SCENE = """
+LookAt 0 5 14  0 1 0  0 1 0
+Camera "perspective" "float fov" [40]
+Film "image" "integer xresolution" [64] "integer yresolution" [64]
+Integrator "path" "integer maxdepth" [5]
+WorldBegin
+# quad ceiling emitter (pbrt-book style)
+AttributeBegin
+  AreaLightSource "diffuse" "rgb L" [12 11 9]
+  Shape "trianglemesh"
+    "point3 P" [-1.5 7.9 -1.5  1.5 7.9 -1.5  1.5 7.9 1.5  -1.5 7.9 1.5]
+    "integer indices" [0 1 2  0 2 3]
+AttributeEnd
+# floor
+Material "matte" "rgb Kd" [0.73 0.73 0.73]
+Shape "trianglemesh"
+  "point3 P" [-4 0 -4  4 0 -4  4 0 4  -4 0 4]
+  "integer indices" [0 1 2  0 2 3]
+# glass sphere
+AttributeBegin
+  Material "glass" "float index" [1.5]
+  Translate -1.3 1.2 0
+  Shape "sphere" "float radius" [1.2]
+AttributeEnd
+# metal disk
+AttributeBegin
+  Material "metal" "float roughness" [0.02]
+  Translate 1.6 0.02 0.5
+  Rotate -90 1 0 0
+  Shape "disk" "float radius" [1.4]
+AttributeEnd
+# translucent panel
+Material "translucent" "rgb Kd" [0.3 0.5 0.4]
+Shape "trianglemesh"
+  "point3 P" [-4 0 -4  4 0 -4  4 5 -4  -4 5 -4]
+  "integer indices" [0 1 2  0 2 3]
+WorldEnd
+"""
+
+
+def test_pbrt_book_scene_end_to_end(tmp_path):
+    """Area light + sphere/disk tessellation + extended materials parse and
+    render end-to-end (r2 verdict item 8; reference skips all three,
+    src/scene.cpp:620-695)."""
+    from fluctus_tpu.core.types import BXDF_EMISSIVE, BXDF_GGX_ROUGH_REFLECTION
+    f = tmp_path / "book.pbrt"
+    f.write_text(PBRT_BOOK_SCENE)
+    out = load_pbrt(str(f), cache_dir=None)
+    *arrays, mat_id, mats, al = out
+    types = [m.bsdf_type for m in mats]
+    assert BXDF_EMISSIVE in types            # emitter tagged
+    assert BXDF_GGX_ROUGH_REFLECTION in types
+    assert len(arrays[0]) > 1000             # sphere+disk tessellated
+    # the quad emitter became the renderer's area light
+    assert al is not None
+    np.testing.assert_allclose(al["emission"], [12, 11, 9])
+    np.testing.assert_allclose(al["pos"], [0, 7.9, 0], atol=1e-6)
+    np.testing.assert_allclose(al["size"], [1.5, 1.5], rtol=1e-6)
+    assert abs(float(np.dot(al["normal"], [0, 1, 0]))) == 1.0
+
+    # end-to-end: session applies the hint, render produces light
+    from fluctus_tpu.core.types import RenderConfig
+    from fluctus_tpu.render import driver
+    cfg = RenderConfig(width=24, height=24, max_bounces=3,
+                       use_env_map=False)
+    sess = driver.create_session(str(f), cfg=cfg, use_sbvh=False,
+                                 cache_dir=None, state_dir=None)
+    assert sess.cfg.use_area_light
+    img = driver.render(sess, spp=4, integrator="lockstep")
+    assert np.isfinite(img).all()
+    assert img.mean() > 1e-4                 # the area light lights the box
+
+
+def test_pbrt_cache_roundtrips_area_light(tmp_path):
+    f = tmp_path / "book.pbrt"
+    f.write_text(PBRT_BOOK_SCENE)
+    cache = str(tmp_path / "cache")
+    fresh = load_pbrt(str(f), cache_dir=cache)
+    cached = load_pbrt(str(f), cache_dir=cache)
+    assert cached[11] is not None
+    for k in fresh[11]:
+        np.testing.assert_allclose(cached[11][k], fresh[11][k])
