@@ -26,6 +26,7 @@ class RenderSession:
     params: RenderParams
     cfg: RenderConfig
     integrator_choice: str | None = None  # cached choose_integrator result
+    _choice_key: tuple | None = None      # (params id, cfg) at choice time
 
 
 def auto_frame_camera(params: RenderParams, host: HostScene) -> RenderParams:
@@ -125,15 +126,28 @@ def _openness_probe(scene, params, cfg, pix):
             jnp.sum(esc) / jnp.maximum(n_hit, 1))
 
 
+def integrator_decision(hit_rate: float, escape_rate: float,
+                        max_bounces: int) -> str:
+    """Pure decision rule behind choose_integrator, unit-testable without a
+    probe: expected traced-segments-per-path E[len] ~ 1 + h * min(1/e, mb);
+    the stream's immediate-respawn win requires E[len] well under the
+    lockstep scan's mb + 1 trips. The 0.55 factor was fit on teapot
+    (open, stream wins 0.94 s vs 1.32 s) and egyptcat (closed, lockstep
+    wins 0.85 s vs 1.55 s) — BASELINE.md r1 session 4 crossover."""
+    mb = max_bounces
+    mean_len = 1.0 + hit_rate * min(
+        1.0 / max(escape_rate, 1.0 / (mb + 1.0)), float(mb))
+    return "stream" if mean_len <= 0.55 * (mb + 1) else "lockstep"
+
+
 def choose_integrator(session: RenderSession, n_probe: int = 4096) -> str:
     """Scene-aware integrator selection (r1 verdict: hardwired stream lost
     to lockstep on closed scenes like egyptcat). The streaming wavefront's
     win is immediate respawn when paths terminate EARLY; estimate the mean
     traced-segments-per-path from a cheap probe (primary hit rate h, bounce
-    escape rate e): E[len] ~ 1 + h * min(1/e, max_bounces). Stream wins
-    when that is well under the lockstep scan's max_bounces + 1 trip count
-    (reference analogue: per-scene scheduling state, src/tracer.cpp:222-299
-    — redesigned as a measurement, the TPU way)."""
+    escape rate e) and apply integrator_decision (reference analogue:
+    per-scene scheduling state, src/tracer.cpp:222-299 — redesigned as a
+    measurement, the TPU way)."""
     if jax.default_backend() in ("cpu",):
         return "lockstep"
     cfg = session.cfg
@@ -141,11 +155,7 @@ def choose_integrator(session: RenderSession, n_probe: int = 4096) -> str:
     stride = max(1, n_pix // n_probe)
     pix = jnp.arange(0, n_pix, stride, dtype=jnp.uint32)
     h, e = _openness_probe(session.scene, session.params, cfg, pix)
-    h = float(h)
-    e = float(e)
-    mb = cfg.max_bounces
-    mean_len = 1.0 + h * min(1.0 / max(e, 1.0 / (mb + 1.0)), float(mb))
-    return "stream" if mean_len <= 0.55 * (mb + 1) else "lockstep"
+    return integrator_decision(float(h), float(e), cfg.max_bounces)
 
 
 def render(session: RenderSession, spp: int,
@@ -157,8 +167,12 @@ def render(session: RenderSession, spp: int,
     open scenes, same exact-spp guarantee and bit-compatible RNG), or
     'auto' (openness probe picks per scene; see choose_integrator)."""
     if integrator == "auto":
-        if session.integrator_choice is None:
+        # cache keyed on (params identity, cfg): camera/param changes can
+        # flip the openness profile, so they re-probe (r2 verdict weak 5)
+        key = (id(session.params), session.cfg)
+        if session.integrator_choice is None or session._choice_key != key:
             session.integrator_choice = choose_integrator(session)
+            session._choice_key = key
         integrator = session.integrator_choice
     if integrator == "stream":
         from fluctus_tpu.integrators import wavefront
@@ -270,8 +284,10 @@ def mrays_benchmark(session: RenderSession, duration_s: float = 10.0,
     from fluctus_tpu.render import benchmark as bm
 
     if integrator == "auto":
-        if session.integrator_choice is None:
+        key = (id(session.params), session.cfg)
+        if session.integrator_choice is None or session._choice_key != key:
             session.integrator_choice = choose_integrator(session)
+            session._choice_key = key
         integrator = session.integrator_choice
     run = (bm.run_benchmark_stream if integrator == "stream"
            else bm.run_benchmark)
