@@ -531,3 +531,132 @@ def _bin_rows(rows, n_pix: int, spp: int):
                     axis=1) / spp
     n_done = jnp.sum((keys != jnp.uint32(0xFFFFFFFF)).astype(jnp.uint32))
     return img, n_done
+
+
+# ---------------------------------------------------------------------------
+# Differentiable streaming wavefront — the fwd+bwd throughput path.
+#
+# The lockstep grad path pays (max_bounces+1) full-width traversals per ray
+# even though the mean path is ~1.6 segments (teapot: 52 ms forward for 64k
+# strided rays, BASELINE.md r3). Early exit cannot help there: strided ray
+# sets keep every batch live. The stream structure CAN: a small pool with
+# immediate respawn does total work ~ sum(path lengths) instead of
+# N x (max_bounces+1). Because the inverse-rendering loss is separable per
+# ray (parallel/mesh.py loss_fn), terminated lanes fold their squared error
+# into a scalar accumulator the moment they finish — no binning sort, no
+# scatter — and the whole scan differentiates with the same named-residual
+# checkpoint policy as lockstep ("trace"/"shadow" saved; shading remats).
+# Radiance per ray is bit-compatible with lockstep.sample_radiance (same
+# counter-RNG streams), so this is the same estimator, restructured.
+# ---------------------------------------------------------------------------
+
+def _stream_loss_segment(scene, params, cfg, pixel_idx, sample_idx, target,
+                         carry):
+    """One differentiable pooled segment: advance every live lane one
+    bounce, fold finished lanes' squared error into the loss accumulator,
+    respawn from the strided ray list."""
+    n = pixel_idx.shape[0]
+    state, ray_id, counter, loss_acc, n_done = carry
+
+    hit, terminate, ei, wo, new_t, s_pdf, singular, path_len = \
+        _segment_core(scene, params, cfg, state)
+    terminate = terminate & state.alive
+    done = terminate & (path_len > 0)
+
+    tgt = target[jnp.minimum(ray_id, jnp.uint32(n - 1))]
+    diff = ei - tgt
+    loss_acc = loss_acc + jnp.sum(
+        jnp.where(done[:, None], diff * diff, 0.0))
+    n_done = n_done + jnp.sum(done.astype(jnp.uint32))
+
+    rank = jnp.cumsum(terminate.astype(jnp.uint32)) - terminate
+    new_ray = counter + rank
+    can = terminate & (new_ray < n)
+    n_spawned = jnp.sum(can.astype(jnp.uint32))
+    new_ray_c = jnp.where(can, new_ray, 0)
+    new_pix = pixel_idx[new_ray_c].astype(jnp.uint32)
+    samp = jnp.broadcast_to(jnp.asarray(sample_idx, jnp.uint32),
+                            new_pix.shape)
+    r_orig, r_dir = _raygen(params, cfg, new_pix, samp)
+
+    state = PathState(
+        orig=vm.where3(terminate, r_orig, hit.p + common.OFFSET_CONT * wo),
+        dir=vm.where3(terminate, r_dir, wo),
+        throughput=vm.where3(terminate, jnp.ones_like(new_t), new_t),
+        radiance=vm.where3(terminate, jnp.zeros_like(ei), ei),
+        pixel_index=jnp.where(terminate, new_pix, state.pixel_index),
+        sample_index=jnp.where(terminate, samp, state.sample_index),
+        path_len=jnp.where(terminate, 0, path_len).astype(jnp.uint32),
+        last_pdf_w=jnp.where(terminate, 1.0, s_pdf),
+        last_specular=jnp.where(terminate, True, singular),
+        alive=jnp.where(terminate, can, state.alive),
+    )
+    ray_id = jnp.where(terminate, new_ray_c.astype(jnp.uint32), ray_id)
+    return (state, ray_id, counter + n_spawned, loss_acc, n_done)
+
+
+def _stream_loss_init(params, cfg, pixel_idx, sample_idx, pool: int):
+    n = pixel_idx.shape[0]
+    lane = jnp.arange(pool, dtype=jnp.uint32)
+    alive0 = lane < n
+    ray0 = jnp.minimum(lane, jnp.uint32(n - 1))
+    pix0 = pixel_idx[ray0].astype(jnp.uint32)
+    samp = jnp.broadcast_to(jnp.asarray(sample_idx, jnp.uint32), (pool,))
+    orig, dir = _raygen(params, cfg, pix0, samp)
+    state = PathState(
+        orig=orig, dir=dir,
+        throughput=jnp.ones((pool, 3), jnp.float32),
+        radiance=jnp.zeros((pool, 3), jnp.float32),
+        pixel_index=pix0, sample_index=samp,
+        path_len=jnp.zeros((pool,), jnp.uint32),
+        last_pdf_w=jnp.ones((pool,), jnp.float32),
+        last_specular=jnp.ones((pool,), bool),
+        alive=alive0,
+    )
+    return (state, ray0, jnp.uint32(min(pool, n)),
+            jnp.float32(0.0), jnp.uint32(0))
+
+
+def stream_loss(scene: DeviceScene, params: RenderParams, cfg: RenderConfig,
+                pixel_idx, sample_idx, target, pool: int, n_segments: int):
+    """Differentiable L2 loss over one sample per listed pixel, computed by
+    the pooled streaming wavefront. Returns (loss, n_done); callers MUST
+    check n_done == len(pixel_idx) (see plan_stream_segments for sizing
+    n_segments — undrained rays would silently drop loss terms)."""
+    n = pixel_idx.shape[0]
+    carry = _stream_loss_init(params, cfg, pixel_idx, sample_idx, pool)
+
+    def body(carry, _):
+        return _stream_loss_segment(scene, params, cfg, pixel_idx,
+                                    sample_idx, target, carry), None
+
+    ckpt = jax.checkpoint(
+        body, policy=jax.checkpoint_policies.save_only_these_names(
+            "trace", "shadow"))
+    carry, _ = jax.lax.scan(ckpt, carry, None, length=n_segments)
+    _, _, _, loss_acc, n_done = carry
+    return loss_acc / jnp.float32(n * 3), n_done
+
+
+@partial(jax.jit, static_argnames=("cfg", "pool", "cap"))
+def plan_stream_segments(scene, params, cfg, pixel_idx, sample_idx,
+                         pool: int, cap: int = 4096):
+    """Segment count needed to drain the ray list at this pool size: runs
+    the same segment body (non-diff) in a while_loop until every lane is
+    done. Host code rounds the result up (e.g. to a multiple of 4) so one
+    compiled stream_loss program serves nearby drain lengths."""
+    n = pixel_idx.shape[0]
+    target = jnp.zeros((n, 3), jnp.float32)
+    carry0 = _stream_loss_init(params, cfg, pixel_idx, sample_idx, pool)
+
+    def cond(s):
+        k, carry = s
+        return (k < cap) & jnp.any(carry[0].alive)
+
+    def body(s):
+        k, carry = s
+        return k + 1, _stream_loss_segment(scene, params, cfg, pixel_idx,
+                                           sample_idx, target, carry)
+
+    k, carry = jax.lax.while_loop(cond, body, (jnp.int32(0), carry0))
+    return k, carry[4]

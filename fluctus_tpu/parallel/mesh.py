@@ -248,3 +248,16 @@ def grad_step(diff_params, scene, params, cfg, pixel_idx, sample_idx, target,
     new_params = jax.tree_util.tree_map(lambda p, g: p - lr * g,
                                         diff_params, grads)
     return loss, new_params
+
+
+def loss_fn_stream(diff_params, scene: DeviceScene, params, cfg, pixel_idx,
+                   sample_idx, target, pool: int, n_segments: int):
+    """L2 image loss via the differentiable STREAMING wavefront
+    (wavefront.stream_loss): identical value to loss_fn (bit-compatible
+    counter RNG) at ~E[path len]/(max_bounces+1) of the traced work — the
+    fwd+bwd throughput path. Returns (loss, n_done); n_done must equal
+    len(pixel_idx) (size n_segments with wavefront.plan_stream_segments)."""
+    from fluctus_tpu.integrators import wavefront
+    scene, params = graft(diff_params, scene, params)
+    return wavefront.stream_loss(scene, params, cfg, pixel_idx, sample_idx,
+                                 target, pool, n_segments)

@@ -234,3 +234,40 @@ def test_grad_memory_path_replay():
     f = lambda x: render_mean_scalar(scene, params, cfg, kd_scale=x, spp=1)
     g = jax.grad(f)(jnp.float32(1.0))
     assert np.isfinite(float(g))
+
+
+def test_stream_loss_matches_lockstep_loss():
+    """The differentiable stream loss computes the SAME value and the SAME
+    gradients as the lockstep loss_fn (bit-compatible RNG; restructured
+    schedule only)."""
+    import jax
+    import jax.numpy as jnp
+    from fluctus_tpu.integrators import wavefront
+    from fluctus_tpu.parallel.mesh import loss_fn, loss_fn_stream
+
+    scene, params, cfg = plane_session(max_bounces=3)
+    n_pix = cfg.width * cfg.height
+    n = 256
+    pix = jnp.arange(n, dtype=jnp.uint32) * (n_pix // n)
+    target = jnp.full((n, 3), 0.1, jnp.float32)
+    diff = {"kd": scene.materials.kd}
+    pool = 64
+
+    k, drained = wavefront.plan_stream_segments(
+        scene, params, cfg, pix, jnp.uint32(0), pool)
+    n_seg = int(k) + 2
+    assert int(drained) == n
+
+    l_ref, g_ref = jax.value_and_grad(loss_fn)(
+        diff, scene, params, cfg, pix, jnp.uint32(0), target)
+
+    def ls(d):
+        loss, n_done = loss_fn_stream(d, scene, params, cfg, pix,
+                                      jnp.uint32(0), target, pool, n_seg)
+        return loss, n_done
+    (l_st, n_done), g_st = jax.value_and_grad(ls, has_aux=True)(diff)
+    assert int(n_done) == n
+    np.testing.assert_allclose(float(l_st), float(l_ref), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_st["kd"]),
+                               np.asarray(g_ref["kd"]), rtol=2e-4,
+                               atol=1e-7)
