@@ -85,10 +85,14 @@ def main():
     r_w = traverse_wide.traverse_closest(scene.wbvh, po, pd, common.T_MAX)
     mm = int(jnp.sum(hit_m.prim != r_w.prim))
     same = np.asarray(hit_m.prim == r_w.prim)
-    mm_t = int((np.asarray(hit_m.t)[same]
-                != np.asarray(r_w.t)[same]).sum())
+    tm = np.asarray(hit_m.t)[same]
+    tw = np.asarray(r_w.t)[same]
+    neq = tm != tw
+    mm_t = int(neq.sum())
+    rel = (np.abs(tm - tw) / np.maximum(np.abs(tw), 1e-20))[neq]
     print(f"forest vs wide: prim mismatches {mm}/{N_PROBE}, "
-          f"t mismatches {mm_t}")
+          f"t mismatches {mm_t} "
+          f"(max rel {rel.max() if len(rel) else 0.0:.2e})")
 
     # --- throughput (chained, scalar fetch)
     @jax.jit
