@@ -583,10 +583,12 @@ def _sorted(ft, orig, dir, t_max, fn):
 
 def traverse_closest(ft: ForestTables, orig, dir, t_max,
                      blk: int = BLK, kk: int = K_CHUNKS,
-                     mode: str = "workqueue") -> Traversal:
+                     mode: str = "workqueue",
+                     wq_blk: int | None = None) -> Traversal:
     if mode == "workqueue":
-        orig_t, dir_t, t_row, b = _prep(orig, dir, t_max, WQ_BLK)
-        t, p, u, v = _run_workqueue(ft, orig_t, dir_t, t_row, False)
+        wq = wq_blk or WQ_BLK
+        orig_t, dir_t, t_row, b = _prep(orig, dir, t_max, wq)
+        t, p, u, v = _run_workqueue(ft, orig_t, dir_t, t_row, False, blk=wq)
         return Traversal(t[0, :b], p[0, :b], u[0, :b], v[0, :b])
 
     def fn(o, d, tv):
@@ -598,10 +600,12 @@ def traverse_closest(ft: ForestTables, orig, dir, t_max,
 
 def traverse_any(ft: ForestTables, orig, dir, t_max,
                  blk: int = BLK, kk: int = K_CHUNKS,
-                 mode: str = "workqueue") -> jnp.ndarray:
+                 mode: str = "workqueue",
+                 wq_blk: int | None = None) -> jnp.ndarray:
     if mode == "workqueue":
-        orig_t, dir_t, t_row, b = _prep(orig, dir, t_max, WQ_BLK)
-        _, p, _, _ = _run_workqueue(ft, orig_t, dir_t, t_row, True)
+        wq = wq_blk or WQ_BLK
+        orig_t, dir_t, t_row, b = _prep(orig, dir, t_max, wq)
+        _, p, _, _ = _run_workqueue(ft, orig_t, dir_t, t_row, True, blk=wq)
         return p[0, :b] > 0
 
     def fn(o, d, tv):
