@@ -51,11 +51,12 @@ def build_parser():
                    help="seconds per scene (reference: 30 s)")
     b.add_argument("--csv", default=None, help="CSV output path")
     b.add_argument("--integrator", default="lockstep",
-                   choices=["lockstep", "stream"],
+                   choices=["auto", "lockstep", "stream"],
                    help="lockstep: analytic ray accounting (every lane "
                         "every bounce); stream: streaming wavefront with "
                         "ACTUAL queue-population ray counts (reference "
-                        "wavefront accounting, src/tracer.cpp:333-345)")
+                        "wavefront accounting, src/tracer.cpp:333-345); "
+                        "auto: openness probe picks per scene")
 
     o = sub.add_parser("optimize")
     common(o)
@@ -113,13 +114,19 @@ def cmd_render(args):
 
 
 def cmd_benchmark(args):
+    from fluctus_tpu.render import driver
     from fluctus_tpu.render.benchmark import (run_benchmark,
                                               run_benchmark_stream)
 
-    fn = (run_benchmark_stream if args.integrator == "stream"
+    sess = make_session(args)
+    integrator = args.integrator
+    if integrator == "auto":
+        integrator = driver.choose_integrator(sess)
+    fn = (run_benchmark_stream if integrator == "stream"
           else run_benchmark)
-    result = fn(make_session(args), duration_s=args.duration,
+    result = fn(sess, duration_s=args.duration,
                 scene_name=args.scene, csv_path=args.csv)
+    result["integrator"] = integrator
     print(json.dumps(result))
 
 

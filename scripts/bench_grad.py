@@ -59,11 +59,45 @@ def main():
     t_fb = timed(lambda: f_both(diff))
 
     rays = N_RAYS * (2 * (cfg.max_bounces + 1) + 1)  # ext+shadow+primary
-    print(f"forward loss:      {t_f*1e3:7.1f} ms "
+    print(f"lockstep forward:      {t_f*1e3:7.1f} ms "
           f"({rays/t_f/1e6:6.2f} MRays/s analytic)")
-    print(f"forward+backward:  {t_fb*1e3:7.1f} ms "
+    print(f"lockstep fwd+bwd:      {t_fb*1e3:7.1f} ms "
           f"({rays/t_fb/1e6:6.2f} MRays/s counting fwd rays; "
           f"bwd/fwd {(t_fb-t_f)/t_f:.2f}x)")
+
+    # --- streaming grad path (wavefront.stream_loss): pooled immediate
+    # respawn, per-row loss folding — same estimator, ~E[len]/(mb+1) work
+    from fluctus_tpu.integrators import wavefront
+    from fluctus_tpu.parallel.mesh import loss_fn_stream
+    for pool_log2 in (13, 14, 15):
+        pool = 1 << pool_log2
+        k, drained = wavefront.plan_stream_segments(
+            scene, params, cfg, pixel_idx, jnp.uint32(0), pool)
+        n_seg = (int(k) + 2 + 3) // 4 * 4
+        assert int(drained) == N_RAYS, (int(drained), N_RAYS)
+
+        def s_fwd(d):
+            loss, n_done = loss_fn_stream(d, scene, params, cfg, pixel_idx,
+                                          jnp.uint32(0), target, pool,
+                                          n_seg)
+            return loss
+        sf = jax.jit(s_fwd)
+
+        def s_both(d):
+            (loss, _), g = jax.value_and_grad(
+                loss_fn_stream, has_aux=True)(
+                d, scene, params, cfg, pixel_idx, jnp.uint32(0), target,
+                pool, n_seg)
+            return loss + sum(jnp.sum(v) * 1e-30 for v in g.values())
+        sb = jax.jit(s_both)
+
+        t_sf = timed(lambda: sf(diff))
+        t_sb = timed(lambda: sb(diff))
+        print(f"stream  forward  p2^{pool_log2}: {t_sf*1e3:7.1f} ms "
+              f"({rays/t_sf/1e6:6.2f} MRays/s analytic; {n_seg} segs)")
+        print(f"stream  fwd+bwd  p2^{pool_log2}: {t_sb*1e3:7.1f} ms "
+              f"({rays/t_sb/1e6:6.2f} MRays/s counting fwd rays; "
+              f"bwd/fwd {(t_sb-t_sf)/t_sf:.2f}x)")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,81 @@
+"""Reference-protocol benchmark sweep under the CURRENT configuration
+(r2 verdict item 6): for each scene, run BOTH integrators for --duration
+seconds at 1024² (reference: 30 s × 1024², src/tracer.cpp:362-528), write
+reference-schema CSVs, and record whether the openness probe's `auto`
+choice ties-or-beats the best manual choice. The cross-integrator metric
+is samples/s (MRays/s accounting legitimately differs per integrator:
+lockstep analytic bound vs stream actual queue populations).
+
+Usage: python scripts/run_protocol.py [--duration 12]
+"""
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from fluctus_tpu.core.types import RenderConfig
+from fluctus_tpu.render import driver
+from fluctus_tpu.render.benchmark import run_benchmark, run_benchmark_stream
+
+ASSETS = "/root/reference/assets"
+SCENES = [
+    ("egyptcat", f"{ASSETS}/egyptcat/egyptcat.obj",
+     f"{ASSETS}/env_maps/night.hdr"),
+    ("psor-cube", f"{ASSETS}/psor-cube.obj", None),
+    ("gold_rings", f"{ASSETS}/gold_rings_bark.obj", None),
+    ("teapot", f"{ASSETS}/teapot.ply", f"{ASSETS}/env_maps/night.hdr"),
+]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--duration", type=float, default=12.0)
+    args = ap.parse_args()
+    os.makedirs("out", exist_ok=True)
+
+    summary = []
+    for name, path, env in SCENES:
+        if not os.path.exists(path):
+            print(f"skip {name}: {path} missing")
+            continue
+        cfg = RenderConfig(width=1024, height=1024, max_bounces=4,
+                           use_env_map=env is not None,
+                           use_area_light=False)
+        sess = driver.create_session(path, env_map=env, cfg=cfg,
+                                     use_sbvh=True,
+                                     cache_dir="data/hierarchies",
+                                     state_dir=None)
+        auto_pick = driver.choose_integrator(sess)
+        rows = {}
+        for integ, fn in (("lockstep", run_benchmark),
+                          ("stream", run_benchmark_stream)):
+            r = fn(sess, duration_s=args.duration, scene_name=name,
+                   csv_path=f"out/protocol_{name}_{integ}.csv")
+            rows[integ] = r
+            print(f"{name:10s} {integ:8s}: "
+                  f"{r['total_mrays_s']:7.2f} MRays/s, "
+                  f"{r['samples_mrays_s']*1e6/1e6:6.2f} Msamples/s, "
+                  f"{r['samples_per_pixel']:.1f} spp", flush=True)
+        winner = max(rows, key=lambda k: rows[k]["samples_mrays_s"])
+        ok = auto_pick == winner
+        print(f"{name:10s} auto picked {auto_pick}; winner by samples/s: "
+              f"{winner} -> {'OK' if ok else 'MISS'}", flush=True)
+        summary.append({
+            "scene": name, "auto": auto_pick, "winner": winner,
+            "auto_correct": ok,
+            "lockstep_mrays_s": round(rows["lockstep"]["total_mrays_s"], 2),
+            "stream_mrays_s": round(rows["stream"]["total_mrays_s"], 2),
+            "lockstep_msamples_s":
+                round(rows["lockstep"]["samples_mrays_s"], 3),
+            "stream_msamples_s":
+                round(rows["stream"]["samples_mrays_s"], 3),
+        })
+    with open("out/protocol_summary.json", "w") as f:
+        json.dump(summary, f, indent=1)
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()
