@@ -23,8 +23,8 @@ ASSETS = "/root/reference/assets"
 SCENES = [
     ("egyptcat", f"{ASSETS}/egyptcat/egyptcat.obj",
      f"{ASSETS}/env_maps/night.hdr"),
-    ("psor-cube", f"{ASSETS}/psor-cube.obj", None),
-    ("gold_rings", f"{ASSETS}/gold_rings_bark.obj", None),
+    ("psor-cube", f"{ASSETS}/psor/psor-cube.obj", None),
+    ("gold_rings", f"{ASSETS}/gold_rings/gold_rings_bark.obj", None),
     ("teapot", f"{ASSETS}/teapot.ply", f"{ASSETS}/env_maps/night.hdr"),
 ]
 
