@@ -242,10 +242,13 @@ class HostScene:
                 wforest = tuple(chunks)
                 wforest_maps = tuple(jnp.asarray(m) for m in maps)
             else:
-                from fluctus_tpu.accel.forest import build_host_forest
+                from fluctus_tpu.accel.forest import (TARGET_TRIS,
+                                                      build_host_forest)
                 from fluctus_tpu.ops.traverse_forest import encode_forest
+                tt = int(os.environ.get("FLUCTUS_FOREST_TARGET_TRIS",
+                                        TARGET_TRIS))
                 hostf = build_host_forest(self.v0, self.v1, self.v2,
-                                          build_binary)
+                                          build_binary, target_tris=tt)
                 ftables = encode_forest(hostf)
         kd, ks, ke, ns, ni, map_kd, map_ks, map_n, bsdf_id = \
             self.material_arrays()
