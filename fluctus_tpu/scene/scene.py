@@ -244,11 +244,17 @@ class HostScene:
             else:
                 from fluctus_tpu.accel.forest import (TARGET_TRIS,
                                                       build_host_forest)
+                from fluctus_tpu.accel.wide import LEAF_WIDTH
                 from fluctus_tpu.ops.traverse_forest import encode_forest
+                # sweepable on real HW: chunk size trades per-step leaf
+                # matmul cost (~ lp x 30W per step) against visits/ray
                 tt = int(os.environ.get("FLUCTUS_FOREST_TARGET_TRIS",
                                         TARGET_TRIS))
+                lw = int(os.environ.get("FLUCTUS_FOREST_LEAF_WIDTH",
+                                        LEAF_WIDTH))
                 hostf = build_host_forest(self.v0, self.v1, self.v2,
-                                          build_binary, target_tris=tt)
+                                          build_binary, target_tris=tt,
+                                          leaf_width=lw)
                 ftables = encode_forest(hostf)
         kd, ks, ke, ns, ni, map_kd, map_ks, map_n, bsdf_id = \
             self.material_arrays()
