@@ -463,6 +463,12 @@ def _run_workqueue(ft: ForestTables, orig_t, dir_t, t_row, any_hit: bool,
     cur_e0 = jnp.full((bb,), -1.0, jnp.float32)
     cur_c0 = jnp.full((bb,), -1, jnp.int32)
     ne0, nc0 = _next_chunk(ft.boxes, o, d, inv, t0, cur_e0, cur_c0)
+    # per-ray direction octant, constant across rounds: sub-sorting each
+    # chunk segment by octant groups lanes with similar near-first child
+    # order, cutting the block's max-trips divergence
+    octant = ((d[:, 0] < 0).astype(jnp.int32)
+              | ((d[:, 1] < 0).astype(jnp.int32) << 1)
+              | ((d[:, 2] < 0).astype(jnp.int32) << 2))
 
     def cond(s):
         return jnp.any(s[7] >= 0)
@@ -470,10 +476,10 @@ def _run_workqueue(ft: ForestTables, orig_t, dir_t, t_row, any_hit: bool,
     def body(s):
         bt, bp, bu, bv, cur_e, cur_c, ne, nc = s
         live = nc >= 0
-        key = jnp.where(live, nc, c)
+        key = jnp.where(live, nc * 8 + octant, c * 8)
         order = jnp.argsort(key)
         rank = jnp.argsort(order)
-        ch_sorted = key[order]
+        ch_sorted = key[order] // 8
         starts = jnp.searchsorted(ch_sorted, jnp.arange(c + 1),
                                   side="left").astype(jnp.int32)
         count = starts[1:] - starts[:-1]              # (C,) live per chunk
