@@ -2,6 +2,7 @@
 fwd+bwd at 4 bounces, grads on kd + env_image, teapot 512² strided rays.
 
 Timing fetches a scalar per call (relay acks are async)."""
+import argparse
 import os
 import sys
 import time
@@ -29,6 +30,14 @@ def timed(f, n=3):
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--full", action="store_true",
+                    help="full-frame ray list (512^2 = 262144 rays): "
+                         "fixed per-segment costs amortize over 4x lanes")
+    ap.add_argument("--pools", default=None,
+                    help="comma list of pool log2s (default 13,14,15; "
+                         "full: 15,16)")
+    args = ap.parse_args()
     cfg = RenderConfig(width=512, height=512, max_bounces=4,
                        use_area_light=False)
     sess = driver.create_session(
@@ -39,9 +48,10 @@ def main():
     cfg = sess.cfg
 
     n_pix = cfg.width * cfg.height
-    pixel_idx = (jnp.arange(N_RAYS, dtype=jnp.uint32)
-                 * (n_pix // N_RAYS))
-    target = jnp.zeros((N_RAYS, 3), jnp.float32)
+    n_rays = n_pix if args.full else N_RAYS
+    pixel_idx = (jnp.arange(n_rays, dtype=jnp.uint32)
+                 * (n_pix // n_rays))
+    target = jnp.zeros((n_rays, 3), jnp.float32)
     diff = {"kd": scene.materials.kd, "env_image": scene.envmap.image}
 
     f_fwd = jax.jit(lambda d: loss_fn(d, scene, params, cfg, pixel_idx,
@@ -58,7 +68,7 @@ def main():
     t_f = timed(lambda: f_fwd(diff))
     t_fb = timed(lambda: f_both(diff))
 
-    rays = N_RAYS * (2 * (cfg.max_bounces + 1) + 1)  # ext+shadow+primary
+    rays = n_rays * (2 * (cfg.max_bounces + 1) + 1)  # ext+shadow+primary
     print(f"lockstep forward:      {t_f*1e3:7.1f} ms "
           f"({rays/t_f/1e6:6.2f} MRays/s analytic)")
     print(f"lockstep fwd+bwd:      {t_fb*1e3:7.1f} ms "
@@ -69,12 +79,14 @@ def main():
     # respawn, per-row loss folding — same estimator, ~E[len]/(mb+1) work
     from fluctus_tpu.integrators import wavefront
     from fluctus_tpu.parallel.mesh import loss_fn_stream
-    for pool_log2 in (13, 14, 15):
+    pools = (tuple(int(x) for x in args.pools.split(","))
+             if args.pools else ((15, 16) if args.full else (13, 14, 15)))
+    for pool_log2 in pools:
         pool = 1 << pool_log2
         k, drained = wavefront.plan_stream_segments(
             scene, params, cfg, pixel_idx, jnp.uint32(0), pool)
         n_seg = (int(k) + 2 + 3) // 4 * 4
-        assert int(drained) == N_RAYS, (int(drained), N_RAYS)
+        assert int(drained) == n_rays, (int(drained), n_rays)
 
         def s_fwd(d):
             loss, n_done = loss_fn_stream(d, scene, params, cfg, pixel_idx,

@@ -91,15 +91,23 @@ def main():
         return
     t0 = time.perf_counter()
     with cf.ThreadPoolExecutor(max_workers=len(fns)) as ex:
-        comp = {k: ex.submit(lambda f=f: f.lower(o, d).compile())
+        futs = {k: ex.submit(lambda f=f: f.lower(o, d).compile())
                 for k, f in fns.items()}
-        comp = {k: v.result() for k, v in comp.items()}
-    print(f"compiled {len(comp)} programs in {time.perf_counter()-t0:.0f} s",
-          flush=True)
+        comp = {}
+        for k, v in futs.items():
+            try:
+                comp[k] = v.result()
+            except Exception as e:
+                print(f"config {k} failed to compile: "
+                      f"{str(e).splitlines()[0][:200]}", flush=True)
+    print(f"compiled {len(comp)}/{len(fns)} programs in "
+          f"{time.perf_counter()-t0:.0f} s", flush=True)
 
+    if not comp:
+        return
     # cross-config prim parity (all configs traverse the same scene)
     prims = {k: np.asarray(fc(o, d)[1]) for k, fc in comp.items()}
-    base = prims[CONFIGS[0]]
+    base = next(iter(prims.values()))
     for k, p in prims.items():
         mm = int((p != base).sum())
         print(f"prim parity {k} vs base: {mm}/128 mismatches", flush=True)
