@@ -127,13 +127,27 @@ def _openness_probe(scene, params, cfg, pix):
 
 
 def integrator_decision(hit_rate: float, escape_rate: float,
-                        max_bounces: int) -> str:
+                        max_bounces: int, nee: bool = True) -> str:
     """Pure decision rule behind choose_integrator, unit-testable without a
-    probe: expected traced-segments-per-path E[len] ~ 1 + h * min(1/e, mb);
-    the stream's immediate-respawn win requires E[len] well under the
-    lockstep scan's mb + 1 trips. The 0.55 factor was fit on teapot
-    (open, stream wins 0.94 s vs 1.32 s) and egyptcat (closed, lockstep
-    wins 0.85 s vs 1.55 s) — BASELINE.md r1 session 4 crossover."""
+    probe. Two regimes, calibrated on the r3 1024² protocol sweep
+    (out/protocol_summary.json, real v5e):
+
+    * nee=False (no light sampling at all — no env map, no area light):
+      ALWAYS lockstep. Measured: psor-cube lockstep 11.1 vs stream 6.9
+      Msamples/s, gold_rings 10.9 vs 8.8. Without NEE a lockstep
+      iteration is cheap and dead lanes cost almost nothing, while the
+      whole-batch early exit already harvests coherent terminations
+      (mostly-sky tiles die together); the stream's per-segment fixed
+      costs and its sample-row binning sort have nothing to win back.
+    * nee=True: the r1-fitted path-length model — expected
+      traced-segments-per-path E[len] ~ 1 + h * min(1/e, mb); stream
+      unless E[len] approaches the lockstep scan's mb + 1 trips (every
+      live vertex then pays NEE twice under lockstep's fixed trip
+      count). Measured: teapot stream 5.7 vs 2.9, egyptcat stream 4.0
+      vs 2.8 Msamples/s (r1's egyptcat lockstep-win predates the
+      launch-quantum binning fix and no longer holds)."""
+    if not nee:
+        return "lockstep"
     mb = max_bounces
     mean_len = 1.0 + hit_rate * min(
         1.0 / max(escape_rate, 1.0 / (mb + 1.0)), float(mb))
@@ -155,7 +169,8 @@ def choose_integrator(session: RenderSession, n_probe: int = 4096) -> str:
     stride = max(1, n_pix // n_probe)
     pix = jnp.arange(0, n_pix, stride, dtype=jnp.uint32)
     h, e = _openness_probe(session.scene, session.params, cfg, pix)
-    return integrator_decision(float(h), float(e), cfg.max_bounces)
+    nee = bool(cfg.sample_expl and (cfg.use_env_map or cfg.use_area_light))
+    return integrator_decision(float(h), float(e), cfg.max_bounces, nee)
 
 
 def render(session: RenderSession, spp: int,

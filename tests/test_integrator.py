@@ -149,6 +149,11 @@ def test_integrator_decision_boundary():
     assert integrator_decision(1.0, 0.0, mb) == "lockstep"
     # fully open sky: no hits at all -> mean_len 1 -> stream
     assert integrator_decision(0.0, 0.0, mb) == "stream"
+    # no light sampling (no env map, no area light): always lockstep —
+    # r3 protocol ground truth (psor-cube 11.1 vs 6.9, gold_rings 10.9
+    # vs 8.8 Msamples/s with auto's old stream pick losing both)
+    assert integrator_decision(0.3, 0.9, mb, nee=False) == "lockstep"
+    assert integrator_decision(0.0, 0.0, mb, nee=False) == "lockstep"
 
 
 def test_auto_choice_invalidated_on_param_change():
