@@ -58,15 +58,15 @@ def main():
     # latency floor
     x0 = jnp.zeros((8, 128), jnp.float32)
     lat = timed(jax.jit(lambda x: x + 1.0), x0)
-    print(f"latency floor (tiny op): {lat*1e3:7.2f} ms")
+    print(f"latency floor (tiny op): {lat*1e3:7.2f} ms", flush=True)
 
     def rep(f):
         """scan f REPS times with a carried perturbation."""
         def g(seed):
             def body(s, _):
                 out = f(s)
-                return s + out * 1e-30, out
-            s, outs = jax.lax.scan(body, seed, None, length=REPS)
+                return s + jnp.sum(out) * 1e-30, None
+            s, _ = jax.lax.scan(body, seed, None, length=REPS)
             return s
         return jax.jit(g)
 
@@ -75,8 +75,6 @@ def main():
     cur_c0 = jnp.full((bb,), -1, jnp.int32)
     f1 = rep(lambda s: tf._next_chunk(ft.boxes, ot, dt_, inv,
                                       t0v + s[0, 0], cur_e0, cur_c0)[0])
-    t1 = timed(f1, x0)
-    print(f"_next_chunk:        {t1/REPS*1e3:7.3f} ms/call")
 
     # 2. argsort pair (order + rank) at bb
     keyv = jax.random.randint(jax.random.PRNGKey(3), (bb,), 0, c)
@@ -84,9 +82,8 @@ def main():
         kv = keyv + s[0, 0].astype(jnp.int32)
         order = jnp.argsort(kv)
         rank = jnp.argsort(order)
-        return rank[:8].astype(jnp.float32)[None, :] * jnp.ones((8, 128))
-    t2 = timed(rep(sorts), x0)
-    print(f"argsort x2 (64k):   {t2/REPS*1e3:7.3f} ms/call")
+        return rank.astype(jnp.float32)
+    f2 = rep(sorts)
 
     # 3. kernel launch, round-1 schedule (fixed schedule, perturb t)
     ne0, nc0 = jax.jit(lambda: tf._next_chunk(
@@ -130,10 +127,8 @@ def main():
                          it + s[0, 0] * 1e-30, ip, iu, iv,
                          leaf_width=int(ft.leaf_width), lvl=int(ft.lvl),
                          any_hit=False, blk=blk)
-        return out[0][0, :8][None, :] * jnp.ones((8, 128))
-    t3 = timed(rep(lau), x0)
-    print(f"kernel round 1:     {t3/REPS*1e3:7.3f} ms/call "
-          f"({live_slots} live slots, {nb} blocks)")
+        return out[0]
+    f3 = rep(lau)
 
     # 4. kernel launch, tail occupancy (~1k live)
     live_mask = np.zeros((bb,), bool)
@@ -149,18 +144,38 @@ def main():
                          it4 + s[0, 0] * 1e-30, ip4, iu, iv,
                          leaf_width=int(ft.leaf_width), lvl=int(ft.lvl),
                          any_hit=False, blk=blk)
-        return out[0][0, :8][None, :] * jnp.ones((8, 128))
-    t4 = timed(rep(lau4), x0)
-    print(f"kernel 1k live:     {t4/REPS*1e3:7.3f} ms/call")
+        return out[0]
+    f4 = rep(lau4)
 
     # 5. merge-scale gather (cap-sized gather into bb)
     idx = jax.random.randint(jax.random.PRNGKey(5), (bb,), 0, cap)
     big = jnp.zeros((1, cap), jnp.float32)
     def mg(s):
         v = big[0, idx] + s[0, 0]
-        return v[:8][None, :] * jnp.ones((8, 128))
-    t5 = timed(rep(mg), x0)
-    print(f"gather bb from cap: {t5/REPS*1e3:7.3f} ms/call")
+        return v
+    f5 = rep(mg)
+
+    # compile all five CONCURRENTLY (relay compiles dominate wall time)
+    import concurrent.futures as cf
+    fns = {"_next_chunk": f1, "argsort x2": f2, "kernel round 1": f3,
+           "kernel 1k live": f4, "gather bb<-cap": f5}
+    if os.environ.get("PROBE_TRACE_ONLY"):   # cheap CPU shape check
+        for k, f in fns.items():
+            print(k, jax.eval_shape(f, x0))
+        return
+    t0 = time.perf_counter()
+    with cf.ThreadPoolExecutor(max_workers=5) as ex:
+        comp = {k: ex.submit(lambda f=f: f.lower(x0).compile())
+                for k, f in fns.items()}
+        comp = {k: v.result() for k, v in comp.items()}
+    print(f"compiled 5 programs in {time.perf_counter()-t0:.0f} s",
+          flush=True)
+
+    for k, fc in comp.items():
+        t = timed(fc, x0)
+        extra = (f"  ({live_slots} live slots, {nb} blocks)"
+                 if k == "kernel round 1" else "")
+        print(f"{k:16s} {t/REPS*1e3:7.3f} ms/call{extra}", flush=True)
 
 
 if __name__ == "__main__":
