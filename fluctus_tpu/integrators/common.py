@@ -23,6 +23,7 @@ from fluctus_tpu.ops import texture as tex_ops
 from fluctus_tpu.ops import (ray_sort, traverse, traverse_mxu,
                              traverse_packed, traverse_pallas, traverse_wide)
 from fluctus_tpu.ops.intersect import ray_area_light
+from fluctus_tpu.ops.traverse_mxu import Traversal
 
 T_MAX = jnp.float32(3.4e38)
 OFFSET_SHADOW = 1e-3   # reference: wf_logic.cl:184 (orig = P - 1e-3*dir)
@@ -112,18 +113,34 @@ def trace_scene(scene: DeviceScene, params: RenderParams, cfg: RenderConfig,
     lockstep integrator's checkpoint policy the traversal result is saved
     as a named residual ("trace"), so the rematerialized backward never
     re-runs a traversal kernel."""
+    tr = _traverse_closest_tr(scene, cfg, orig, dir, T_MAX)
+    return hit_from_traversal(scene, params, cfg, orig, dir, tr)
+
+
+def _traverse_closest_tr(scene, cfg, orig, dir, t_max):
+    """Backend-dispatched raw closest traversal (t_max may be per-lane)."""
     g = scene.geom
     if cfg.backend == "jnp":
         tr = traverse.traverse_closest(scene.bvh, g.v0, g.v1, g.v2, orig,
-                                       dir, T_MAX)
+                                       dir, t_max)
     elif cfg.backend == "packed":
-        tr = traverse_packed.traverse_closest(scene.pbvh, orig, dir, T_MAX)
+        tr = traverse_packed.traverse_closest(scene.pbvh, orig, dir, t_max)
     elif cfg.backend == "mxu" and _mxu_ok(scene):
-        tr = _mxu_closest(scene, orig, dir, T_MAX)
+        tr = _mxu_closest(scene, orig, dir, t_max)
     elif cfg.backend in ("pallas", "mxu"):
-        tr = _pallas_closest(scene, orig, dir, T_MAX)
+        tr = _pallas_closest(scene, orig, dir, t_max)
     else:
-        tr = traverse_wide.traverse_closest(scene.wbvh, orig, dir, T_MAX)
+        tr = traverse_wide.traverse_closest(scene.wbvh, orig, dir, t_max)
+    return tr
+
+
+def hit_from_traversal(scene: DeviceScene, params: RenderParams,
+                       cfg: RenderConfig, orig, dir, tr):
+    """Hit record from a raw traversal result: stop-gradient + named
+    residual + differentiable reparameterization + area-light quad (the
+    second half of trace_scene, split out so fused ext+shadow traversals
+    can share it)."""
+    g = scene.geom
     tr = jax.lax.stop_gradient(tr)
     # named so lockstep's checkpoint policy saves the traversal result as
     # a residual: the rematerialized backward then never re-runs the
@@ -182,6 +199,50 @@ def trace_scene(scene: DeviceScene, params: RenderParams, cfg: RenderConfig,
             area_light=al_hit,
         )
     return hit
+
+
+def trace_scene_with_shadow(scene, params, cfg, orig, dir,
+                            sh_orig, sh_dir, sh_len,
+                            check_area_quad: bool = True):
+    """Fused extension + shadow traversal: ONE batched closest call over
+    [ext rays ; shadow rays], the shadow half with per-lane t_max =
+    sh_len so any hit before the light distance reads as blocked.
+
+    Motivation (BASELINE r3e): each traversal pallas call carries a
+    ~1.5 ms fixed floor nearly independent of ray count, and a stream
+    segment's two traces are that floor twice. The deferred-shadow
+    segment (reference: wf_shadowrays.cl traced in segment k, resolved
+    by wf_logic.cl:134-156 in segment k+1) makes the two ray sets
+    independent, so they share one call. Falls back to two calls on
+    backends without per-lane t_max.
+
+    Returns (hit, blocked)."""
+    b = orig.shape[0]
+    fused = (cfg.backend == "mxu" and _mxu_ok(scene)
+             and scene.ftables is None and not scene.wforest)
+    if fused:
+        o2 = jnp.concatenate([orig, sh_orig])
+        d2 = jnp.concatenate([dir, sh_dir])
+        t2 = jnp.concatenate([jnp.full((b,), T_MAX, jnp.float32),
+                              jnp.maximum(sh_len, 1e-6)])
+        tr2 = traverse_mxu.traverse_closest(scene.wbvh, o2, d2, t2)
+        tr = Traversal(*(x[:b] for x in tr2))
+        blocked = tr2.prim[b:] >= 0
+        hit = hit_from_traversal(scene, params, cfg, orig, dir, tr)
+    else:
+        hit = trace_scene(scene, params, cfg, orig, dir)
+        blocked = _shadow_blocked(scene, params, cfg, sh_orig, sh_dir,
+                                  jnp.maximum(sh_len, 1e-6),
+                                  check_area_quad=False)
+    blocked = jax.lax.stop_gradient(blocked)
+    if check_area_quad and cfg.use_area_light:
+        al = params.area_light
+        q_hit, _ = ray_area_light(sh_orig, sh_dir, al.pos, al.right, al.up,
+                                  al.normal, al.size,
+                                  jnp.maximum(sh_len, 1e-6))
+        blocked = blocked | q_hit
+    blocked = checkpoint_name(blocked, "shadow")
+    return hit, blocked
 
 
 def make_shading_ctx(scene: DeviceScene, hit: Hit,

@@ -72,7 +72,7 @@ def init_state(params: RenderParams, cfg: RenderConfig) -> PathState:
 
 
 def _nee_single_light(scene, params, cfg, ctx, sh_orig, wi, types, pix, samp,
-                      bounce):
+                      bounce, defer: bool = False):
     """WF-style NEE: pick ONE light (env with prob envMapProb, else area),
     one shadow ray (reference: wf_logic.cl:215-303 + wf_shadowrays.cl)."""
     use_env = 1 if cfg.use_env_map else 0
@@ -135,25 +135,42 @@ def _nee_single_light(scene, params, cfg, ctx, sh_orig, wi, types, pix, samp,
     # (area-pick rays are shortened by 0.995 so they miss their own emitter).
     live = valid & (cos_th > 0.0) & ~vm.is_zero(f)
     sh_o, ldir_t = common.neutralize_rays(sh_orig, ldir, live)
-    blocked = common._shadow_blocked(scene, params, cfg, sh_o, ldir_t,
-                                     jnp.maximum(llen, 1e-6),
-                                     check_area_quad=True)
     weight = jnp.float32(1.0)
     if cfg.sample_impl:
         weight = (direct_pdf_w * pick_prob) / jnp.maximum(
             direct_pdf_w * pick_prob + bsdf_pdf_w, 1e-20)
     denom = jnp.maximum(pick_prob * direct_pdf_w, 1e-20)
     contrib = f * emission * (weight * cos_th / denom)[..., None]
-    ok = valid & ~blocked & (direct_pdf_w > 0.0)
-    return vm.where3(ok, contrib, jnp.zeros_like(contrib)), pick_prob
+    cand_ok = valid & (direct_pdf_w > 0.0)
+    cand = vm.where3(cand_ok, contrib, jnp.zeros_like(contrib))
+    if defer:
+        # deferred resolution (reference: shadow rays traced this segment,
+        # wf_logic.cl:134-156 resolves them next segment): return the
+        # candidate + the shadow ray; caller traces it FUSED with the next
+        # segment's extension rays (common.trace_scene_with_shadow)
+        return cand, (sh_o, ldir_t, jnp.maximum(llen, 1e-6))
+    blocked = common._shadow_blocked(scene, params, cfg, sh_o, ldir_t,
+                                     jnp.maximum(llen, 1e-6),
+                                     check_area_quad=True)
+    return vm.where3(~blocked, cand, jnp.zeros_like(cand)), pick_prob
 
 
 def _segment_core(scene: DeviceScene, params: RenderParams,
-                  cfg: RenderConfig, state: PathState):
+                  cfg: RenderConfig, state: PathState, pend=None):
     """The per-segment path logic shared by both wavefront drivers:
     extension trace -> RR -> implicit env/area hits -> NEE -> continuation
     sampling (reference: wf_extrays.cl + wf_logic.cl + wf_mat_*.cl +
-    wf_shadowrays.cl). Returns everything the splat/respawn policy needs."""
+    wf_shadowrays.cl). Returns everything the splat/respawn policy needs.
+
+    pend (deferred-shadow mode): (sh_o, sh_d, sh_len, contrib) — the
+    PREVIOUS segment's NEE shadow rays + MIS-weighted candidates. The
+    shadow rays trace FUSED with this segment's extension rays (one
+    traversal call instead of two — each call carries a ~1.5 ms floor,
+    BASELINE r3e) exactly like the reference wavefront: shadow rays
+    queued in segment k are resolved by segment k+1's logic kernel
+    (wf_logic.cl:134-156). Returns two extra values: resolved (the
+    previous candidates where unblocked, to credit to whichever path
+    generated them) and pend2 (this segment's candidates)."""
     types = cfg.bsdf_types_mask
     pix = state.pixel_index
     samp = state.sample_index
@@ -162,7 +179,13 @@ def _segment_core(scene: DeviceScene, params: RenderParams,
     # --- extension trace (wf_extrays.cl); inactive lanes trace miss rays
     t_orig, t_dir = common.neutralize_rays(state.orig, state.dir,
                                            state.alive)
-    hit = common.trace_scene(scene, params, cfg, t_orig, t_dir)
+    if pend is not None:
+        hit, blocked_prev = common.trace_scene_with_shadow(
+            scene, params, cfg, t_orig, t_dir, pend[0], pend[1], pend[2])
+        resolved = vm.where3(~blocked_prev, pend[3],
+                             jnp.zeros_like(pend[3]))
+    else:
+        hit = common.trace_scene(scene, params, cfg, t_orig, t_dir)
     path_len = state.path_len + 1
 
     t = state.throughput
@@ -218,11 +241,27 @@ def _segment_core(scene: DeviceScene, params: RenderParams,
     sh_orig = hit.p - common.OFFSET_SHADOW * state.dir
     singular = bsdf_mod.is_singular(ctx.bsdf_id)
 
-    if cfg.sample_expl and (cfg.use_env_map or cfg.use_area_light):
+    nee_on = cfg.sample_expl and (cfg.use_env_map or cfg.use_area_light)
+    if nee_on and pend is None:
         contrib, _ = _nee_single_light(scene, params, cfg, ctx, sh_orig,
                                        state.dir, types, pix, samp, bounce)
         nee_mask = live_vertex & ~singular
         ei = ei + vm.where3(nee_mask, t * contrib, jnp.zeros_like(ei))
+    elif pend is not None:
+        if nee_on:
+            cand, (sh_o2, sh_d2, sh_l2) = _nee_single_light(
+                scene, params, cfg, ctx, sh_orig, state.dir, types, pix,
+                samp, bounce, defer=True)
+            nee_mask = live_vertex & ~singular
+            sh_o2, sh_d2 = common.neutralize_rays(sh_o2, sh_d2, nee_mask)
+            pend2 = (sh_o2, sh_d2, sh_l2,
+                     vm.where3(nee_mask, t * cand, jnp.zeros_like(cand)))
+        else:
+            b = pix.shape[0]
+            z3 = jnp.zeros((b, 3), jnp.float32)
+            sh_o2, sh_d2 = common.neutralize_rays(
+                z3, z3.at[:, 2].set(1.0), jnp.zeros((b,), bool))
+            pend2 = (sh_o2, sh_d2, jnp.full((b,), 1e-6, jnp.float32), z3)
 
     terminate = ~live_vertex | rr_term
     t = t_cont
@@ -236,6 +275,9 @@ def _segment_core(scene: DeviceScene, params: RenderParams,
     ok = (s.pdf != 0.0) & ~vm.is_zero(s.f)
     new_t = t * s.f * (cos_th / jnp.where(ok, s.pdf, 1.0))[..., None]
     terminate = terminate | ~ok | vm.is_zero(new_t)
+    if pend is not None:
+        return (hit, terminate, ei, wo, new_t, s.pdf, singular, path_len,
+                resolved, pend2)
     return hit, terminate, ei, wo, new_t, s.pdf, singular, path_len
 
 
@@ -617,6 +659,96 @@ def _stream_loss_init(params, cfg, pixel_idx, sample_idx, pool: int):
             jnp.float32(0.0), jnp.uint32(0))
 
 
+def _pend_init(pool: int):
+    """Neutralized no-op pending shadow state (deferred-NEE carry)."""
+    z3 = jnp.zeros((pool, 3), jnp.float32)
+    o, d = common.neutralize_rays(z3, z3.at[:, 2].set(1.0),
+                                  jnp.zeros((pool,), bool))
+    return (o, d, jnp.full((pool,), 1e-6, jnp.float32), z3)
+
+
+def _stream_loss_segment_d(scene, params, cfg, pixel_idx, sample_idx,
+                           target, carry):
+    """Deferred-shadow variant of _stream_loss_segment: the previous
+    segment's NEE shadow rays ride in the SAME traversal call as this
+    segment's extension rays (common.trace_scene_with_shadow), and a
+    finished sample's loss folds one segment late, after its final
+    shadow ray resolves (reference: wf_logic.cl:134-156)."""
+    n = pixel_idx.shape[0]
+    (state, ray_id, counter, loss_acc, n_done, pend, fin_ray,
+     fin_ei) = carry
+
+    (hit, terminate, ei, wo, new_t, s_pdf, singular, path_len, resolved,
+     pend2) = _segment_core(scene, params, cfg, state, pend=pend)
+
+    # credit the resolved NEE: to the finished sample awaiting it, else
+    # to the live path that generated it
+    fin_has = fin_ray >= 0
+    fin_total = fin_ei + resolved
+    tgt = target[jnp.clip(fin_ray, 0, n - 1)]
+    diff = fin_total - tgt
+    loss_acc = loss_acc + jnp.sum(
+        jnp.where(fin_has[:, None], diff * diff, 0.0))
+    n_done = n_done + jnp.sum(fin_has.astype(jnp.uint32))
+    ei = ei + vm.where3(~fin_has, resolved, jnp.zeros_like(resolved))
+
+    terminate = terminate & state.alive
+    done = terminate & (path_len > 0)
+    fin_ray_n = jnp.where(done, ray_id.astype(jnp.int32), -1)
+    fin_ei_n = vm.where3(done, ei, jnp.zeros_like(ei))
+
+    rank = jnp.cumsum(terminate.astype(jnp.uint32)) - terminate
+    new_ray = counter + rank
+    can = terminate & (new_ray < n)
+    n_spawned = jnp.sum(can.astype(jnp.uint32))
+    new_ray_c = jnp.where(can, new_ray, 0)
+    new_pix = pixel_idx[new_ray_c].astype(jnp.uint32)
+    samp = jnp.broadcast_to(jnp.asarray(sample_idx, jnp.uint32),
+                            new_pix.shape)
+    r_orig, r_dir = _raygen(params, cfg, new_pix, samp)
+
+    state = PathState(
+        orig=vm.where3(terminate, r_orig, hit.p + common.OFFSET_CONT * wo),
+        dir=vm.where3(terminate, r_dir, wo),
+        throughput=vm.where3(terminate, jnp.ones_like(new_t), new_t),
+        radiance=vm.where3(terminate, jnp.zeros_like(ei), ei),
+        pixel_index=jnp.where(terminate, new_pix, state.pixel_index),
+        sample_index=jnp.where(terminate, samp, state.sample_index),
+        path_len=jnp.where(terminate, 0, path_len).astype(jnp.uint32),
+        last_pdf_w=jnp.where(terminate, 1.0, s_pdf),
+        last_specular=jnp.where(terminate, True, singular),
+        alive=jnp.where(terminate, can, state.alive),
+    )
+    ray_id = jnp.where(terminate, new_ray_c.astype(jnp.uint32), ray_id)
+    return (state, ray_id, counter + n_spawned, loss_acc, n_done, pend2,
+            fin_ray_n, fin_ei_n)
+
+
+def stream_loss_deferred(scene: DeviceScene, params: RenderParams,
+                         cfg: RenderConfig, pixel_idx, sample_idx, target,
+                         pool: int, n_segments: int):
+    """Deferred-shadow stream loss: one fused traversal per segment.
+    Identical estimator to stream_loss (same RNG streams, same MIS
+    weights; only the shadow resolve timing and float summation order
+    shift). Size n_segments with plan_stream_segments(deferred=True)."""
+    n = pixel_idx.shape[0]
+    base = _stream_loss_init(params, cfg, pixel_idx, sample_idx, pool)
+    carry = base + (_pend_init(pool),
+                    jnp.full((pool,), -1, jnp.int32),
+                    jnp.zeros((pool, 3), jnp.float32))
+
+    def body(carry, _):
+        return _stream_loss_segment_d(scene, params, cfg, pixel_idx,
+                                      sample_idx, target, carry), None
+
+    ckpt = jax.checkpoint(
+        body, policy=jax.checkpoint_policies.save_only_these_names(
+            "trace", "shadow"))
+    carry, _ = jax.lax.scan(ckpt, carry, None, length=n_segments)
+    loss_acc, n_done = carry[3], carry[4]
+    return loss_acc / jnp.float32(n * 3), n_done
+
+
 def stream_loss(scene: DeviceScene, params: RenderParams, cfg: RenderConfig,
                 pixel_idx, sample_idx, target, pool: int, n_segments: int):
     """Differentiable L2 loss over one sample per listed pixel, computed by
@@ -638,9 +770,10 @@ def stream_loss(scene: DeviceScene, params: RenderParams, cfg: RenderConfig,
     return loss_acc / jnp.float32(n * 3), n_done
 
 
-@partial(jax.jit, static_argnames=("cfg", "pool", "cap"))
+@partial(jax.jit, static_argnames=("cfg", "pool", "cap", "deferred"))
 def plan_stream_segments(scene, params, cfg, pixel_idx, sample_idx,
-                         pool: int, cap: int = 4096):
+                         pool: int, cap: int = 4096,
+                         deferred: bool = False):
     """Segment count needed to drain the ray list at this pool size: runs
     the same segment body (non-diff) in a while_loop until every lane is
     done. Host code rounds the result up (e.g. to a multiple of 4) so one
@@ -648,15 +781,24 @@ def plan_stream_segments(scene, params, cfg, pixel_idx, sample_idx,
     n = pixel_idx.shape[0]
     target = jnp.zeros((n, 3), jnp.float32)
     carry0 = _stream_loss_init(params, cfg, pixel_idx, sample_idx, pool)
+    if deferred:
+        carry0 = carry0 + (_pend_init(pool),
+                           jnp.full((pool,), -1, jnp.int32),
+                           jnp.zeros((pool, 3), jnp.float32))
 
     def cond(s):
         k, carry = s
-        return (k < cap) & jnp.any(carry[0].alive)
+        more = jnp.any(carry[0].alive)
+        if deferred:
+            more = more | jnp.any(carry[6] >= 0)
+        return (k < cap) & more
 
     def body(s):
         k, carry = s
-        return k + 1, _stream_loss_segment(scene, params, cfg, pixel_idx,
-                                           sample_idx, target, carry)
+        seg = (_stream_loss_segment_d if deferred
+               else _stream_loss_segment)
+        return k + 1, seg(scene, params, cfg, pixel_idx,
+                          sample_idx, target, carry)
 
     k, carry = jax.lax.while_loop(cond, body, (jnp.int32(0), carry0))
     return k, carry[4]

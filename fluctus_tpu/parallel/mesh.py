@@ -251,7 +251,8 @@ def grad_step(diff_params, scene, params, cfg, pixel_idx, sample_idx, target,
 
 
 def loss_fn_stream(diff_params, scene: DeviceScene, params, cfg, pixel_idx,
-                   sample_idx, target, pool: int, n_segments: int):
+                   sample_idx, target, pool: int, n_segments: int,
+                   deferred: bool = False):
     """L2 image loss via the differentiable STREAMING wavefront
     (wavefront.stream_loss): identical value to loss_fn (bit-compatible
     counter RNG) at ~E[path len]/(max_bounces+1) of the traced work — the
@@ -259,5 +260,7 @@ def loss_fn_stream(diff_params, scene: DeviceScene, params, cfg, pixel_idx,
     len(pixel_idx) (size n_segments with wavefront.plan_stream_segments)."""
     from fluctus_tpu.integrators import wavefront
     scene, params = graft(diff_params, scene, params)
-    return wavefront.stream_loss(scene, params, cfg, pixel_idx, sample_idx,
-                                 target, pool, n_segments)
+    fn = (wavefront.stream_loss_deferred if deferred
+          else wavefront.stream_loss)
+    return fn(scene, params, cfg, pixel_idx, sample_idx,
+              target, pool, n_segments)

@@ -82,16 +82,18 @@ def main():
     pools = (tuple(int(x) for x in args.pools.split(","))
              if args.pools else ((15, 16) if args.full else (13, 14, 15)))
     for pool_log2 in pools:
+      for deferred in (False, True):
         pool = 1 << pool_log2
         k, drained = wavefront.plan_stream_segments(
-            scene, params, cfg, pixel_idx, jnp.uint32(0), pool)
+            scene, params, cfg, pixel_idx, jnp.uint32(0), pool,
+            deferred=deferred)
         n_seg = (int(k) + 2 + 3) // 4 * 4
         assert int(drained) == n_rays, (int(drained), n_rays)
 
         def s_fwd(d):
             loss, n_done = loss_fn_stream(d, scene, params, cfg, pixel_idx,
                                           jnp.uint32(0), target, pool,
-                                          n_seg)
+                                          n_seg, deferred=deferred)
             return loss
         sf = jax.jit(s_fwd)
 
@@ -99,15 +101,16 @@ def main():
             (loss, _), g = jax.value_and_grad(
                 loss_fn_stream, has_aux=True)(
                 d, scene, params, cfg, pixel_idx, jnp.uint32(0), target,
-                pool, n_seg)
+                pool, n_seg, deferred=deferred)
             return loss + sum(jnp.sum(v) * 1e-30 for v in g.values())
         sb = jax.jit(s_both)
 
+        tag = "DEFER" if deferred else "immed"
         t_sf = timed(lambda: sf(diff))
         t_sb = timed(lambda: sb(diff))
-        print(f"stream  forward  p2^{pool_log2}: {t_sf*1e3:7.1f} ms "
+        print(f"stream {tag} fwd  p2^{pool_log2}: {t_sf*1e3:7.1f} ms "
               f"({rays/t_sf/1e6:6.2f} MRays/s analytic; {n_seg} segs)")
-        print(f"stream  fwd+bwd  p2^{pool_log2}: {t_sb*1e3:7.1f} ms "
+        print(f"stream {tag} f+b  p2^{pool_log2}: {t_sb*1e3:7.1f} ms "
               f"({rays/t_sb/1e6:6.2f} MRays/s counting fwd rays; "
               f"bwd/fwd {(t_sb-t_sf)/t_sf:.2f}x)")
 

@@ -271,3 +271,46 @@ def test_stream_loss_matches_lockstep_loss():
     np.testing.assert_allclose(np.asarray(g_st["kd"]),
                                np.asarray(g_ref["kd"]), rtol=2e-4,
                                atol=1e-7)
+
+def test_stream_loss_deferred_matches_immediate():
+    """The deferred-shadow stream loss (fused ext+shadow traversal, NEE
+    resolved one segment late — reference wf_logic.cl:134-156 structure)
+    computes the same loss and gradients as the immediate form: same RNG
+    streams and MIS weights, only resolve timing and float summation
+    order shift."""
+    import jax
+    import jax.numpy as jnp
+    from fluctus_tpu.integrators import wavefront
+    from fluctus_tpu.parallel.mesh import loss_fn_stream
+
+    scene, params, cfg = plane_session(max_bounces=3)
+    n_pix = cfg.width * cfg.height
+    n = 256
+    pix = jnp.arange(n, dtype=jnp.uint32) * (n_pix // n)
+    target = jnp.full((n, 3), 0.1, jnp.float32)
+    diff = {"kd": scene.materials.kd}
+    pool = 64
+
+    k_i, dr_i = wavefront.plan_stream_segments(
+        scene, params, cfg, pix, jnp.uint32(0), pool)
+    k_d, dr_d = wavefront.plan_stream_segments(
+        scene, params, cfg, pix, jnp.uint32(0), pool, deferred=True)
+    assert int(dr_i) == n
+    assert int(dr_d) == n
+    # deferral adds exactly the tail resolve segments, at most 2 extra
+    assert int(k_i) <= int(k_d) <= int(k_i) + 2
+
+    def li(d):
+        return loss_fn_stream(d, scene, params, cfg, pix, jnp.uint32(0),
+                              target, pool, int(k_i) + 2)
+    def ld(d):
+        return loss_fn_stream(d, scene, params, cfg, pix, jnp.uint32(0),
+                              target, pool, int(k_d) + 2, deferred=True)
+    (l_i, nd_i), g_i = jax.value_and_grad(li, has_aux=True)(diff)
+    (l_d, nd_d), g_d = jax.value_and_grad(ld, has_aux=True)(diff)
+    assert int(nd_i) == n
+    assert int(nd_d) == n
+    np.testing.assert_allclose(float(l_d), float(l_i), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_d["kd"]),
+                               np.asarray(g_i["kd"]), rtol=2e-4,
+                               atol=1e-7)
