@@ -453,6 +453,84 @@ def _stream_segment(scene: DeviceScene, params: RenderParams,
     return state, counters, (row_r, row_g, row_b, row_pix)
 
 
+def _stream_segment_d(scene: DeviceScene, params: RenderParams,
+                      cfg: RenderConfig, state: PathState,
+                      counters: jnp.ndarray, spp: int,
+                      pend, fin_pix, fin_ei,
+                      pix_base=0, n_pix_local: int | None = None):
+    """Deferred-shadow streaming segment (image form): the previous
+    segment's NEE shadow rays trace FUSED with this segment's extension
+    rays (one traversal call, ~half the per-call floor — BASELINE r3e),
+    and a completed sample's row emits one segment late, after its final
+    shadow ray resolves (reference: wf_logic.cl:134-156)."""
+    n_pix = n_pix_local if n_pix_local is not None else (
+        cfg.width * cfg.height)
+    pix_base_u = jnp.uint32(pix_base)
+    target = jnp.uint32(n_pix * spp)
+    active = state.alive
+
+    (hit, terminate, ei, wo, new_t, s_pdf, singular, path_len, resolved,
+     pend2) = _segment_core(scene, params, cfg, state, pend=pend)
+    # credit resolved NEE: finished sample awaiting it, else live path
+    fin_has = fin_pix >= 0
+    row_pix = jnp.where(fin_has, fin_pix, -1)
+    fin_total = fin_ei + resolved
+    row_r = jnp.where(fin_has, fin_total[:, 0], 0.0)
+    row_g = jnp.where(fin_has, fin_total[:, 1], 0.0)
+    row_b = jnp.where(fin_has, fin_total[:, 2], 0.0)
+    ei = ei + vm.where3(~fin_has, resolved, jnp.zeros_like(resolved))
+
+    terminate = terminate & active
+    done = terminate & (path_len > 0)
+    fin_pix_n = jnp.where(done, state.pixel_index.astype(jnp.int32), -1)
+    fin_ei_n = vm.where3(done, ei, jnp.zeros_like(ei))
+
+    rank = jnp.cumsum(terminate.astype(jnp.uint32)) - terminate
+    new_spawn = counters[0] + rank
+    can_spawn = terminate & (new_spawn < target)
+    n_spawned = jnp.sum(can_spawn.astype(jnp.uint32))
+    new_pix = jnp.where(can_spawn, pix_base_u + new_spawn % n_pix, 0)
+    new_samp = jnp.where(can_spawn, new_spawn // n_pix, 0)
+    r_orig, r_dir = _raygen(params, cfg, new_pix, new_samp)
+
+    alive_next = jnp.where(terminate, can_spawn, active)
+    state = PathState(
+        orig=vm.where3(terminate, r_orig, hit.p + common.OFFSET_CONT * wo),
+        dir=vm.where3(terminate, r_dir, wo),
+        throughput=vm.where3(terminate, jnp.ones_like(new_t), new_t),
+        radiance=vm.where3(terminate, jnp.zeros_like(ei), ei),
+        pixel_index=jnp.where(terminate, new_pix, state.pixel_index),
+        sample_index=jnp.where(terminate, new_samp, state.sample_index),
+        path_len=jnp.where(terminate, 0, path_len).astype(jnp.uint32),
+        last_pdf_w=jnp.where(terminate, 1.0, s_pdf),
+        last_specular=jnp.where(terminate, True, singular),
+        alive=alive_next,
+    )
+    n_act = jnp.sum(active.astype(jnp.uint32))
+    counters = counters.at[0].add(n_spawned)
+    counters = counters.at[1].add(n_act)
+    counters = counters.at[2].add(n_act)
+    return (state, counters, pend2, fin_pix_n, fin_ei_n,
+            (row_r, row_g, row_b, row_pix))
+
+
+@partial(jax.jit, static_argnames=("cfg", "spp", "n_seg"),
+         donate_argnums=(3, 4, 5, 6, 7))
+def stream_rounds_deferred(scene, params, cfg, state, counters, pend,
+                           fin_pix, fin_ei, spp: int, n_seg: int):
+    """n_seg deferred segments fused into one program (cf. stream_rounds);
+    also returns the carried pend/fin state for the next launch."""
+    def body(carry, _):
+        state, counters, pend, fin_pix, fin_ei = carry
+        state, counters, pend, fin_pix, fin_ei, rows = _stream_segment_d(
+            scene, params, cfg, state, counters, spp, pend, fin_pix,
+            fin_ei)
+        return (state, counters, pend, fin_pix, fin_ei), rows
+    carry, rows = jax.lax.scan(body, (state, counters, pend, fin_pix,
+                                      fin_ei), None, length=n_seg)
+    return carry + (rows,)
+
+
 @partial(jax.jit, static_argnames=("cfg", "spp"), donate_argnums=(3, 4))
 def stream_iteration(scene, params, cfg, state, counters, spp: int):
     return _stream_segment(scene, params, cfg, state, counters, spp)
@@ -499,14 +577,21 @@ def init_stream_state(params: RenderParams, cfg: RenderConfig, pool: int,
 
 
 def render_stream(scene: DeviceScene, params: RenderParams,
-                  cfg: RenderConfig, spp: int, segments_per_launch: int = 8):
+                  cfg: RenderConfig, spp: int, segments_per_launch: int = 8,
+                  deferred: bool = False):
     """Render exactly `spp` samples/pixel with the streaming wavefront.
-    Returns ((H, W, 3) image, counters [spawns, ext_rays, shadow_rays])."""
+    Returns ((H, W, 3) image, counters [spawns, ext_rays, shadow_rays]).
+    deferred=True fuses each segment's extension rays with the previous
+    segment's NEE shadow rays into one traversal call (same estimator;
+    see _stream_segment_d)."""
     n_pix = cfg.width * cfg.height
     pool = min(cfg.pool_size, n_pix * spp)
     total = n_pix * spp
 
     state, counters = init_stream_state(params, cfg, pool)
+    pend = _pend_init(pool)
+    fin_pix = jnp.full((pool,), -1, jnp.int32)
+    fin_ei = jnp.zeros((pool, 3), jnp.float32)
 
     # every segment either completes >= 1 sample or advances every live path
     # one bounce; RR extends past max_bounces with survival prob <= 0.5
@@ -516,11 +601,20 @@ def render_stream(scene: DeviceScene, params: RenderParams,
     pending = []  # lagged drain checks: block on an OLD check while the
     #               newest launch is already queued (hides sync latency)
     while it < cap:
-        state, counters, rows = stream_rounds(
-            scene, params, cfg, state, counters, spp, segments_per_launch)
+        if deferred:
+            state, counters, pend, fin_pix, fin_ei, rows = \
+                stream_rounds_deferred(scene, params, cfg, state, counters,
+                                       pend, fin_pix, fin_ei, spp,
+                                       segments_per_launch)
+            drained = jnp.any(state.alive) | jnp.any(fin_pix >= 0)
+        else:
+            state, counters, rows = stream_rounds(
+                scene, params, cfg, state, counters, spp,
+                segments_per_launch)
+            drained = jnp.any(state.alive)
         chunks.append(rows)
         it += segments_per_launch
-        pending.append(jnp.any(state.alive))
+        pending.append(drained)
         if len(pending) >= 2 and not bool(pending.pop(0)):
             break
 

@@ -100,3 +100,19 @@ def test_bucket_rows_quantum_padding():
     assert out[0].shape[0] == 4 * q
     # padding rows carry pix = -1 (sorted to the back by _bin_rows)
     assert int(out[3][-1]) == -1
+
+
+def test_stream_deferred_matches_immediate():
+    """The deferred-shadow stream (fused ext+shadow traversal, rows
+    emitted one segment late after the final NEE resolves) renders the
+    SAME image as the immediate form — same RNG streams and MIS weights,
+    only resolve timing / float add order shift. Exercised with RR on
+    (drain-tail edge) and a pool smaller than the image (striding)."""
+    scene, params, cfg = plane_session()
+    cfg = cfg.replace(pool_size=1 << 12, use_roulette=True)
+    img_i, cnt_i = wavefront.render_stream(scene, params, cfg, spp=4)
+    img_d, cnt_d = wavefront.render_stream(scene, params, cfg, spp=4,
+                                           deferred=True)
+    np.testing.assert_allclose(np.asarray(img_d), np.asarray(img_i),
+                               rtol=1e-4, atol=1e-5)
+    assert int(cnt_d[0]) == int(cnt_i[0])
