@@ -584,6 +584,14 @@ def render_stream(scene: DeviceScene, params: RenderParams,
     deferred=True fuses each segment's extension rays with the previous
     segment's NEE shadow rays into one traversal call (same estimator;
     see _stream_segment_d)."""
+    # with NEE off there are no shadow rays to defer: the deferred form
+    # would trace neutralized no-op shadow rays every segment (doubling the
+    # fused traversal width) and pay the one-segment-late row emission for
+    # nothing — the immediate path is the same estimator and strictly
+    # cheaper (r3 advisor finding)
+    if deferred and not (cfg.sample_expl
+                         and (cfg.use_env_map or cfg.use_area_light)):
+        deferred = False
     n_pix = cfg.width * cfg.height
     pool = min(cfg.pool_size, n_pix * spp)
     total = n_pix * spp
@@ -692,6 +700,7 @@ def _stream_loss_segment(scene, params, cfg, pixel_idx, sample_idx, target,
     bounce, fold finished lanes' squared error into the loss accumulator,
     respawn from the strided ray list."""
     n = pixel_idx.shape[0]
+    sample_vec = _sample_vec(sample_idx, n)
     state, ray_id, counter, loss_acc, n_done = carry
 
     hit, terminate, ei, wo, new_t, s_pdf, singular, path_len = \
@@ -711,8 +720,7 @@ def _stream_loss_segment(scene, params, cfg, pixel_idx, sample_idx, target,
     n_spawned = jnp.sum(can.astype(jnp.uint32))
     new_ray_c = jnp.where(can, new_ray, 0)
     new_pix = pixel_idx[new_ray_c].astype(jnp.uint32)
-    samp = jnp.broadcast_to(jnp.asarray(sample_idx, jnp.uint32),
-                            new_pix.shape)
+    samp = sample_vec[new_ray_c]
     r_orig, r_dir = _raygen(params, cfg, new_pix, samp)
 
     state = PathState(
@@ -731,13 +739,22 @@ def _stream_loss_segment(scene, params, cfg, pixel_idx, sample_idx, target,
     return (state, ray_id, counter + n_spawned, loss_acc, n_done)
 
 
+def _sample_vec(sample_idx, n: int):
+    """Per-ray sample indices: a scalar broadcasts (the single-spp form);
+    an (n,) array gives each listed pixel its own sample id so one loss
+    batch can hold SEVERAL samples per pixel (multi-spp optimizer steps
+    amortize the fixed per-segment pallas floor, BASELINE r4)."""
+    return jnp.broadcast_to(jnp.asarray(sample_idx, jnp.uint32), (n,))
+
+
 def _stream_loss_init(params, cfg, pixel_idx, sample_idx, pool: int):
     n = pixel_idx.shape[0]
+    sample_vec = _sample_vec(sample_idx, n)
     lane = jnp.arange(pool, dtype=jnp.uint32)
     alive0 = lane < n
     ray0 = jnp.minimum(lane, jnp.uint32(n - 1))
     pix0 = pixel_idx[ray0].astype(jnp.uint32)
-    samp = jnp.broadcast_to(jnp.asarray(sample_idx, jnp.uint32), (pool,))
+    samp = sample_vec[ray0]
     orig, dir = _raygen(params, cfg, pix0, samp)
     state = PathState(
         orig=orig, dir=dir,
@@ -769,6 +786,7 @@ def _stream_loss_segment_d(scene, params, cfg, pixel_idx, sample_idx,
     finished sample's loss folds one segment late, after its final
     shadow ray resolves (reference: wf_logic.cl:134-156)."""
     n = pixel_idx.shape[0]
+    sample_vec = _sample_vec(sample_idx, n)
     (state, ray_id, counter, loss_acc, n_done, pend, fin_ray,
      fin_ei) = carry
 
@@ -797,8 +815,7 @@ def _stream_loss_segment_d(scene, params, cfg, pixel_idx, sample_idx,
     n_spawned = jnp.sum(can.astype(jnp.uint32))
     new_ray_c = jnp.where(can, new_ray, 0)
     new_pix = pixel_idx[new_ray_c].astype(jnp.uint32)
-    samp = jnp.broadcast_to(jnp.asarray(sample_idx, jnp.uint32),
-                            new_pix.shape)
+    samp = sample_vec[new_ray_c]
     r_orig, r_dir = _raygen(params, cfg, new_pix, samp)
 
     state = PathState(
@@ -825,6 +842,11 @@ def stream_loss_deferred(scene: DeviceScene, params: RenderParams,
     Identical estimator to stream_loss (same RNG streams, same MIS
     weights; only the shadow resolve timing and float summation order
     shift). Size n_segments with plan_stream_segments(deferred=True)."""
+    if not (cfg.sample_expl and (cfg.use_env_map or cfg.use_area_light)):
+        # no NEE => no shadow rays to defer; the immediate form is the
+        # same estimator without the no-op fused shadow half (r3 advisor)
+        return stream_loss(scene, params, cfg, pixel_idx, sample_idx,
+                           target, pool, n_segments)
     n = pixel_idx.shape[0]
     base = _stream_loss_init(params, cfg, pixel_idx, sample_idx, pool)
     carry = base + (_pend_init(pool),
@@ -872,6 +894,9 @@ def plan_stream_segments(scene, params, cfg, pixel_idx, sample_idx,
     the same segment body (non-diff) in a while_loop until every lane is
     done. Host code rounds the result up (e.g. to a multiple of 4) so one
     compiled stream_loss program serves nearby drain lengths."""
+    if deferred and not (cfg.sample_expl
+                         and (cfg.use_env_map or cfg.use_area_light)):
+        deferred = False  # stream_loss_deferred falls back to immediate
     n = pixel_idx.shape[0]
     target = jnp.zeros((n, 3), jnp.float32)
     carry0 = _stream_loss_init(params, cfg, pixel_idx, sample_idx, pool)

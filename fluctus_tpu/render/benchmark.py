@@ -43,7 +43,13 @@ def run_benchmark(session, duration_s: float = 30.0, scene_name: str = "",
     # return on an ASYNC ack through the compile relay (measured: a 12 s
     # "run" enqueued thousands of frames); every timed iteration must FETCH
     # a value to close the round trip.
-    spp_per_iter = max(spp_per_iter, 4)
+    if spp_per_iter < 4:
+        import warnings
+        warnings.warn(
+            f"run_benchmark: spp_per_iter={spp_per_iter} raised to 4 — "
+            "smaller fused-spp programs are dominated by per-call dispatch "
+            "overhead and under-report throughput", stacklevel=2)
+        spp_per_iter = 4
     idx0 = jnp.arange(tile, dtype=jnp.uint32)
     np.asarray(lockstep._render_tile_spp(scene, params, cfg, idx0,
                                          jnp.uint32(0), spp_per_iter)[0])

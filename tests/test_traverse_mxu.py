@@ -178,3 +178,79 @@ def test_mxu_tmax_above_big_sentinel(rng, interp):
                               np.float32(3.4e38), blk=128)
     t_ref, prim_ref, _, _ = cpu_ref.intersect_closest(v0, v1, v2, orig, dir)
     np.testing.assert_array_equal(np.asarray(res.prim) >= 0, prim_ref >= 0)
+
+
+def test_fused_ext_shadow_parity(rng, interp):
+    """CPU-runnable parity for the fused ext+shadow traversal
+    (common.trace_scene_with_shadow mxu branch): ONE closest call over
+    [ext rays ; shadow rays] with per-lane t_max, where shadow lanes map
+    prim>=0 to blocked. Must agree with the separate closest/any calls —
+    the fused branch otherwise only runs on real TPU hardware
+    (r3 advisor finding)."""
+    v0, v1, v2 = random_tris(rng, m=400)
+    orig, dir = random_rays(rng, b=256)
+    sh_orig, sh_dir = random_rays(rng, b=256)
+    wbvh = make_wide(v0, v1, v2)
+    assert wbvh.root_ref >= 0
+    sh_len = np.full(256, 2.5, np.float32)
+
+    o2 = jnp.concatenate([jnp.asarray(orig), jnp.asarray(sh_orig)])
+    d2 = jnp.concatenate([jnp.asarray(dir), jnp.asarray(sh_dir)])
+    t2 = jnp.concatenate([jnp.full((256,), 3.4e38, jnp.float32),
+                          jnp.asarray(sh_len)])
+    fused = tm.traverse_closest(wbvh, o2, d2, t2, blk=128)
+    fused_blocked = np.asarray(fused.prim[256:] >= 0)
+
+    sep = tm.traverse_closest(wbvh, jnp.asarray(orig), jnp.asarray(dir),
+                              np.float32(3.4e38), blk=128)
+    sep_blocked = np.asarray(tm.traverse_any(
+        wbvh, jnp.asarray(sh_orig), jnp.asarray(sh_dir),
+        jnp.asarray(sh_len), blk=128))
+
+    np.testing.assert_array_equal(np.asarray(fused.prim[:256]),
+                                  np.asarray(sep.t * 0 + sep.prim))
+    np.testing.assert_allclose(np.asarray(fused.t[:256]),
+                               np.asarray(sep.t), rtol=0, atol=0)
+    np.testing.assert_array_equal(fused_blocked, sep_blocked)
+
+
+def test_trace_scene_with_shadow_fused_branch(rng, interp):
+    """End-to-end check of common.trace_scene_with_shadow's FUSED branch
+    (backend='mxu'): same Hit + blocked as the two-call fallback on the
+    same rays. The fused branch otherwise only executes on real TPU
+    hardware (r3 advisor finding)."""
+    from fluctus_tpu.core.types import RenderConfig
+    from fluctus_tpu.integrators import common
+    from fluctus_tpu.core.types import default_params
+    from helpers import make_host_scene, diffuse_material
+
+    v0, v1, v2 = random_tris(rng, m=400)
+    host = make_host_scene(np.asarray(v0), np.asarray(v1), np.asarray(v2),
+                           materials=[diffuse_material()])
+    host.build_bvh(cache_dir=None, use_sbvh=False)
+    scene = host.to_device()
+    assert scene.wbvh.root_ref >= 0 and scene.ftables is None \
+        and not scene.wforest
+
+    orig, dir = random_rays(rng, b=256)
+    sh_orig, sh_dir = random_rays(rng, b=256)
+    sh_len = jnp.full((256,), 2.5, jnp.float32)
+    params = default_params(world_radius=host.world_radius())
+
+    cfg_m = RenderConfig(width=8, height=8, use_env_map=False,
+                         backend="mxu")
+    hit_f, blk_f = common.trace_scene_with_shadow(
+        scene, params, cfg_m, jnp.asarray(orig), jnp.asarray(dir),
+        jnp.asarray(sh_orig), jnp.asarray(sh_dir), sh_len)
+
+    cfg_w = cfg_m.replace(backend="wide")
+    hit_s, blk_s = common.trace_scene_with_shadow(
+        scene, params, cfg_w, jnp.asarray(orig), jnp.asarray(dir),
+        jnp.asarray(sh_orig), jnp.asarray(sh_dir), sh_len)
+
+    np.testing.assert_array_equal(np.asarray(hit_f.prim),
+                                  np.asarray(hit_s.prim))
+    h = np.asarray(hit_f.prim) >= 0
+    np.testing.assert_allclose(np.asarray(hit_f.t)[h],
+                               np.asarray(hit_s.t)[h], rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(blk_f), np.asarray(blk_s))
