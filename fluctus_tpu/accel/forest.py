@@ -92,6 +92,63 @@ def _wrap_leaf_root(h):
     return h
 
 
+@dataclass
+class HostBrute:
+    """Brute-force chunk tables (the r4 beyond-VMEM redesign): chunks are
+    spatial bins of <= target_tris triangles with NO per-chunk hierarchy —
+    a chunk visit Möller-tests every triangle as full (blk, tile) VPU
+    planes. Motivation (BASELINE r4): the treelet kernel's per-visit cost
+    is dominated by the leaf one-hot matmul, whose cost is invariant in
+    leaf width (30·tris_chunk rows) — the brute scan does the same
+    triangle work without the stack walk, the node matmul, or the bf16
+    encode (which cost 316 s at 6.3M tris), and scales linearly DOWN with
+    chunk size. Reference analogue: src/bvh.cl:253-279's leaf loop,
+    promoted to the whole chunk."""
+    tris: np.ndarray     # (C, 16, Tp) f32: rows [ax ay az e1x..e2z tid+1 0..]
+    boxes: np.ndarray    # (C, 8) f32 chunk AABB lo(3) hi(3) pad(2)
+    boxes_t: np.ndarray  # (8, Cp) f32 component-major [lox loy loz hix hiy
+    #                       hiz 0 0], pad chunks pushed to 3e37 (never hit)
+
+
+BRUTE_TARGET_TRIS = 2048
+
+
+def build_brute_forest(v0, v1, v2,
+                       target_tris: int = BRUTE_TARGET_TRIS,
+                       tile: int = 512) -> HostBrute:
+    """Partition triangles into spatial chunks (median split — no SAH/SBVH
+    build needed, unlike the treelet forest) and pack per-chunk Möller
+    tables. Every triangle lands in exactly one chunk (no duplication), so
+    cross-chunk min-merges never tie on one prim."""
+    n = len(v0)
+    assert n < (1 << 24) - 1, "brute forest: tri ids exceed f32-exact range"
+    chunk_ids = _split_chunks(v0, v1, v2, target_tris)
+    c = len(chunk_ids)
+    tp = max(-(-max(len(ids) for ids in chunk_ids) // tile) * tile, tile)
+    tris = np.zeros((c, 16, tp), np.float32)
+    boxes = np.zeros((c, 8), np.float32)
+    for i, ids in enumerate(chunk_ids):
+        k = len(ids)
+        a = v0[ids]
+        tris[i, 0:3, :k] = a.T
+        tris[i, 3:6, :k] = (v1[ids] - a).T
+        tris[i, 6:9, :k] = (v2[ids] - a).T
+        # tid+1 as f32 (exact below 2^24); pad slots stay 0 = invalid
+        tris[i, 9, :k] = (ids + 1).astype(np.float32)
+        t = np.concatenate([v0[ids], v1[ids], v2[ids]])
+        boxes[i, 0:3] = t.min(0)
+        boxes[i, 3:6] = t.max(0)
+    cp = -(-c // 128) * 128
+    # pad chunks get an INVERTED far box (lo > hi => tmn > tmax, never
+    # hit; a degenerate far point would still "hit" at tmn == tmax)
+    boxes_t = np.zeros((8, cp), np.float32)
+    boxes_t[0:3] = 3.0e37
+    boxes_t[3:6] = -3.0e37
+    boxes_t[0:3, :c] = boxes[:, 0:3].T
+    boxes_t[3:6, :c] = boxes[:, 3:6].T
+    return HostBrute(tris=tris, boxes=boxes, boxes_t=boxes_t)
+
+
 def build_host_forest(v0, v1, v2, build_binary,
                       leaf_width: int = LEAF_WIDTH,
                       target_tris: int = TARGET_TRIS) -> HostForest:

@@ -143,6 +143,23 @@ class ForestTables:
 
 
 @struct.dataclass
+class BruteForest:
+    """Beyond-VMEM brute-chunk tables (ops/traverse_brute.py): spatial
+    bins of triangles with no per-chunk hierarchy; a chunk visit
+    Möller-tests the whole chunk as (blk, tile) VPU planes, and the
+    kernel itself computes each lane's next chunks from the in-VMEM
+    chunk-AABB table. Replaces the treelet ForestTables as the default
+    big-scene path (r4; see accel/forest.py HostBrute for rationale).
+
+    Reference analogue: src/bvh.cl:234-310 traverses one global-memory
+    BVH; the TPU form streams HBM-resident chunk tables through VMEM
+    with per-ray work-queue scheduling."""
+    tris: jnp.ndarray     # (C, 16, Tp) f32 per-chunk Möller tables
+    boxes: jnp.ndarray    # (C, 8) f32 chunk AABBs
+    boxes_t: jnp.ndarray  # (8, Cp) f32 component-major chunk AABBs
+
+
+@struct.dataclass
 class Geometry:
     """SoA triangle soup (reference: src/geom.h:89-95 `Triangle`). Padded to a
     lane-friendly length; pad triangles are degenerate (never hit)."""
@@ -194,9 +211,12 @@ class DeviceScene:
     # chunk-local to global triangle ids. Empty when wbvh fits VMEM.
     wforest: tuple = ()
     wforest_maps: tuple = ()
-    # Stacked-chunk tables for the streamed forest kernel (the default
-    # beyond-VMEM path); None when the scene fits VMEM.
+    # Stacked-chunk tables for the streamed treelet forest kernel
+    # (beyond-VMEM fallback path); None when the scene fits VMEM.
     ftables: Optional[ForestTables] = None
+    # Brute-chunk tables (the DEFAULT beyond-VMEM path since r4); None
+    # when the scene fits VMEM or FLUCTUS_FOREST=treelet.
+    bforest: Optional[BruteForest] = None
     materials: Materials = None
     atlas: TextureAtlas = None
     envmap: EnvMap = None

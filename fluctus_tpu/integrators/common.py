@@ -42,7 +42,8 @@ def _wbvh_bounds(wbvh):
 
 
 def _pallas_closest(scene, orig, dir, t_max):
-    if scene.ftables is not None and not scene.wforest:
+    if ((scene.bforest is not None or scene.ftables is not None)
+            and not scene.wforest):
         # big scene without a packet forest: the streamed forest kernel is
         # the only VMEM-feasible Pallas path
         return _mxu_closest(scene, orig, dir, t_max)
@@ -57,7 +58,8 @@ def _pallas_closest(scene, orig, dir, t_max):
 
 
 def _pallas_any(scene, orig, dir, lens):
-    if scene.ftables is not None and not scene.wforest:
+    if ((scene.bforest is not None or scene.ftables is not None)
+            and not scene.wforest):
         return _mxu_any(scene, orig, dir, lens)
     lo, hi = _wbvh_bounds(scene.wbvh)
     keys = ray_sort.ray_sort_keys(orig, dir, lo, hi)
@@ -73,7 +75,7 @@ def _pallas_any(scene, orig, dir, lens):
 
 
 def _mxu_ok(scene: DeviceScene) -> bool:
-    if scene.ftables is not None:
+    if scene.bforest is not None or scene.ftables is not None:
         return True
     if scene.wforest:
         return traverse_mxu.forest_fits_vmem(scene.wforest)
@@ -81,6 +83,10 @@ def _mxu_ok(scene: DeviceScene) -> bool:
 
 
 def _mxu_closest(scene, orig, dir, t_max):
+    if scene.bforest is not None:
+        from fluctus_tpu.ops import traverse_brute
+        return traverse_brute.traverse_closest(scene.bforest, orig, dir,
+                                               t_max)
     if scene.ftables is not None:
         from fluctus_tpu.ops import traverse_forest
         return traverse_forest.traverse_closest(scene.ftables, orig, dir,
@@ -92,6 +98,9 @@ def _mxu_closest(scene, orig, dir, t_max):
 
 
 def _mxu_any(scene, orig, dir, lens):
+    if scene.bforest is not None:
+        from fluctus_tpu.ops import traverse_brute
+        return traverse_brute.traverse_any(scene.bforest, orig, dir, lens)
     if scene.ftables is not None:
         from fluctus_tpu.ops import traverse_forest
         return traverse_forest.traverse_any(scene.ftables, orig, dir, lens)
@@ -218,6 +227,8 @@ def trace_scene_with_shadow(scene, params, cfg, orig, dir,
 
     Returns (hit, blocked)."""
     b = orig.shape[0]
+    # the fused single call needs per-lane t_max: the in-VMEM mxu kernel
+    # and the brute-chunk forest support it; treelet/packet forests don't
     fused = (cfg.backend == "mxu" and _mxu_ok(scene)
              and scene.ftables is None and not scene.wforest)
     if fused:
@@ -225,7 +236,11 @@ def trace_scene_with_shadow(scene, params, cfg, orig, dir,
         d2 = jnp.concatenate([dir, sh_dir])
         t2 = jnp.concatenate([jnp.full((b,), T_MAX, jnp.float32),
                               jnp.maximum(sh_len, 1e-6)])
-        tr2 = traverse_mxu.traverse_closest(scene.wbvh, o2, d2, t2)
+        if scene.bforest is not None:
+            from fluctus_tpu.ops import traverse_brute
+            tr2 = traverse_brute.traverse_closest(scene.bforest, o2, d2, t2)
+        else:
+            tr2 = traverse_mxu.traverse_closest(scene.wbvh, o2, d2, t2)
         tr = Traversal(*(x[:b] for x in tr2))
         blocked = tr2.prim[b:] >= 0
         hit = hit_from_traversal(scene, params, cfg, orig, dir, tr)

@@ -1,0 +1,393 @@
+"""Brute-chunk streamed traversal — the r4 beyond-VMEM redesign.
+
+The r2/r3 treelet forest (ops/traverse_forest.py) ran a per-lane stack
+traversal inside each streamed chunk; measured on hardware its per-visit
+cost was dominated by (a) the leaf one-hot matmul, whose FLOPs are
+proportional to the WHOLE chunk's triangle count regardless of how few
+leaves a lane touches, and (b) a ~1.4 ms fixed floor per pallas_call on
+this toolchain (scripts/probe_pallas_floor.py) times 12 scheduling
+rounds. This kernel removes both:
+
+  * Chunks carry NO hierarchy: a visit Möller-tests every triangle of
+    the chunk as (blk, tile) VPU planes — the same O(tris_chunk * blk)
+    work the one-hot matmul already paid, minus the stack walk, the
+    divergence, and the bf16 table encode. Per-visit cost scales
+    linearly DOWN with chunk size (the treelet kernel's could not).
+  * The kernel computes each lane's NEXT chunks itself from the chunk
+    AABB table resident in VMEM (slab test over all C chunks as
+    (blk, Cp) planes), so the per-round XLA rescan/argmin disappears
+    and — crucially — all entry-distance comparisons live in ONE float
+    semantics domain (Mosaic's), making the (entry, id) cursor walk
+    self-consistent. A "scout" launch (sel = -1: no visit, cursor
+    (-inf, -1)) produces the first next-chunk lists.
+  * Rounds visit M chunks per ray per launch (M ramps, e.g. 1,2,4):
+    a ray occupies M slots, each slot seeded with the round-start best;
+    results min-merge. This collapses the r3 12-round walk to ~3
+    launches — each launch costs the fixed pallas floor, so round
+    count, not per-visit work, dominated the old design.
+
+Reference analogue: src/bvh.cl:234-310 traverses one global-memory BVH
+per thread; src/bvh.cl:253-279's leaf loop is here promoted to the
+whole chunk. Scheduling (sort rays by next chunk, pad segments to block
+multiples so every kernel block holds ONE chunk) follows the r3
+work-queue (ops/traverse_forest.py _run_workqueue).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fluctus_tpu.core.types import BruteForest
+from fluctus_tpu.ops.traverse_mxu import TRI_EPS, Traversal
+
+BLK = 128           # rays per kernel block (one chunk per block)
+PLAN = (1, 2, 4)    # chunk visits per ray per round; last entry repeats
+MM = 4              # next-chunk lookahead the kernel emits per lane
+# plain Python floats: jnp scalars would be captured as pallas constants
+_INF = float("inf")
+_BIG = 3.0e38
+
+
+def _safe_inv(d):
+    return 1.0 / jnp.where(jnp.abs(d) < 1e-20,
+                           jnp.where(d < 0, -1e-20, 1e-20), d)
+
+
+# ---------------------------------------------------------------------------
+# kernel
+
+def _kernel(sel_ref, tris_ref, boxes_ref, rays_ref,
+            it_ref, ip_ref, iu_ref, iv_ref,
+            ot_ref, op_ref, ou_ref, ov_ref, onc_ref,
+            any_hit: bool, blk: int, tt: int, mm: int, c_real: int):
+    f32 = jnp.float32
+    i32 = jnp.int32
+    b = pl.program_id(0)
+    c_id = sel_ref[b]             # chunk this block visits; -1 = scout
+    scout = c_id < 0
+    tp = tris_ref.shape[2]
+    cp = boxes_ref.shape[1]
+    nt = tp // tt
+
+    ox = rays_ref[:, 0:1]
+    oy = rays_ref[:, 1:2]
+    oz = rays_ref[:, 2:3]
+    dx = rays_ref[:, 3:4]
+    dy = rays_ref[:, 4:5]
+    dz = rays_ref[:, 5:6]
+    ix = _safe_inv(dx)
+    iy = _safe_inv(dy)
+    iz = _safe_inv(dz)
+
+    best_t = it_ref[:, :]
+    best_p = ip_ref[:, :]
+    best_u = iu_ref[:, :]
+    best_v = iv_ref[:, :]
+
+    # slab test of ALL chunk AABBs: (blk, Cp) component planes. Used both
+    # for this block's chunk entry (one-hot the c_id lane) and for the
+    # per-lane next-chunk selection — one float-semantics domain, so the
+    # (entry, id) cursor walk across rounds is exactly self-consistent.
+    lox = boxes_ref[0:1, :]
+    loy = boxes_ref[1:2, :]
+    loz = boxes_ref[2:3, :]
+    hix = boxes_ref[3:4, :]
+    hiy = boxes_ref[4:5, :]
+    hiz = boxes_ref[5:6, :]
+    t0x = (lox - ox) * ix
+    t1x = (hix - ox) * ix
+    t0y = (loy - oy) * iy
+    t1y = (hiy - oy) * iy
+    t0z = (loz - oz) * iz
+    t1z = (hiz - oz) * iz
+    tmn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                  jnp.minimum(t0y, t1y)),
+                      jnp.minimum(t0z, t1z))
+    tmx = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                  jnp.maximum(t0y, t1y)),
+                      jnp.maximum(t0z, t1z))
+    # pad chunks (cid >= c_real) masked explicitly: the min/max slab test
+    # is insensitive to an inverted lo/hi sentinel box
+    cid_iota = jax.lax.broadcasted_iota(i32, (blk, cp), 1)
+    hitc = (tmx >= 0.0) & (tmn <= tmx) & (cid_iota < c_real)
+    e_all = jnp.where(hitc, jnp.maximum(tmn, 0.0), _INF)   # (blk, Cp)
+
+    my_e = jnp.min(jnp.where(cid_iota == c_id, e_all, _INF), axis=1,
+                   keepdims=True)
+    live = ~scout & (my_e < best_t)
+    if any_hit:
+        live = live & (best_p <= 0)
+
+    # seed outputs with the carry (scout / fully-pruned blocks keep them)
+    ot_ref[:, :] = best_t
+    op_ref[:, :] = best_p
+    ou_ref[:, :] = best_u
+    ov_ref[:, :] = best_v
+
+    @pl.when(jnp.any(live))
+    def _():
+        def tile(i, s):
+            bt, bp, bu, bv = s
+            ds = pl.ds(i * tt, tt)
+            ax = tris_ref[0, 0:1, ds]
+            ay = tris_ref[0, 1:2, ds]
+            az = tris_ref[0, 2:3, ds]
+            e1x = tris_ref[0, 3:4, ds]
+            e1y = tris_ref[0, 4:5, ds]
+            e1z = tris_ref[0, 5:6, ds]
+            e2x = tris_ref[0, 6:7, ds]
+            e2y = tris_ref[0, 7:8, ds]
+            e2z = tris_ref[0, 8:9, ds]
+            tidp = tris_ref[0, 9:10, ds]
+            px = dy * e2z - dz * e2y
+            py = dz * e2x - dx * e2z
+            pz = dx * e2y - dy * e2x
+            det = e1x * px + e1y * py + e1z * pz
+            ok = jnp.abs(det) >= TRI_EPS
+            idet = 1.0 / jnp.where(ok, det, 1.0)
+            tvx = ox - ax
+            tvy = oy - ay
+            tvz = oz - az
+            u = (tvx * px + tvy * py + tvz * pz) * idet
+            qx = tvy * e1z - tvz * e1y
+            qy = tvz * e1x - tvx * e1z
+            qz = tvx * e1y - tvy * e1x
+            v = (dx * qx + dy * qy + dz * qz) * idet
+            t = (e2x * qx + e2y * qy + e2z * qz) * idet
+            ok = ok & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) \
+                & (u + v <= 1.0) & (t >= 0.0) & (t < bt) \
+                & (tidp > 0.0) & live
+            if any_hit:
+                bp = jnp.maximum(
+                    bp, jnp.max(ok.astype(i32), axis=1, keepdims=True))
+                return bt, bp, bu, bv
+            t_c = jnp.where(ok, t, _BIG)
+            t_min = jnp.min(t_c, axis=1, keepdims=True)
+            improved = t_min < bt
+            lane = jax.lax.broadcasted_iota(i32, (blk, tt), 1)
+            win = ok & (t_c == t_min)
+            first = jnp.min(jnp.where(win, lane, tt), axis=1,
+                            keepdims=True)
+            sel_m = win & (lane == first)
+            pick = lambda x: jnp.sum(jnp.where(sel_m, x, 0.0), axis=1,
+                                     keepdims=True)
+            bt = jnp.where(improved, t_min, bt)
+            bp = jnp.where(improved,
+                           pick(jnp.broadcast_to(tidp, (blk, tt)))
+                           .astype(i32) - 1, bp)
+            bu = jnp.where(improved, pick(u), bu)
+            bv = jnp.where(improved, pick(v), bv)
+            return bt, bp, bu, bv
+
+        bt, bp, bu, bv = jax.lax.fori_loop(
+            0, nt, tile, (best_t, best_p, best_u, best_v))
+        ot_ref[:, :] = bt
+        op_ref[:, :] = bp
+        ou_ref[:, :] = bu
+        ov_ref[:, :] = bv
+
+    # --- per-lane next chunks after this visit. Cursor = (entry, id) of
+    # the chunk just visited; scout or chunk-missed lanes fall back to
+    # (-inf, c_id) which only over-includes (revisits are idempotent and
+    # the cursor is strictly monotonic, so the walk still terminates).
+    fin_t = ot_ref[:, :]
+    fin_p = op_ref[:, :]
+    eff_t = jnp.where(fin_p > 0, 0.0, it_ref[:, :]) if any_hit else fin_t
+    cur_e = jnp.where(scout | (my_e == _INF), -_INF, my_e)
+    cur_c = jnp.where(scout, -1, c_id)
+    cand = hitc & (e_all < eff_t) & (
+        (e_all > cur_e) | ((e_all == cur_e) & (cid_iota > cur_c)))
+    for j in range(mm):
+        e_j = jnp.min(jnp.where(cand, e_all, _INF), axis=1, keepdims=True)
+        c_j = jnp.min(jnp.where(cand & (e_all == e_j), cid_iota,
+                                jnp.int32(0x7FFFFFFF)),
+                      axis=1, keepdims=True)
+        got = e_j < _INF
+        onc_ref[:, j:j + 1] = jnp.where(got, c_j, -1)
+        cand = cand & ~((e_all == e_j) & (cid_iota == c_j) & got)
+
+
+# ---------------------------------------------------------------------------
+# launch
+
+@functools.partial(jax.jit,
+                   static_argnames=("any_hit", "blk", "tt", "mm", "c_real"))
+def _launch(sel, tris, boxes_t, rays8, it, ip, iu, iv,
+            any_hit: bool, blk: int, tt: int, mm: int, c_real: int):
+    cap = rays8.shape[0]
+    nb = cap // blk
+    tp = tris.shape[2]
+    cp = boxes_t.shape[1]
+    kernel = functools.partial(_kernel, any_hit=any_hit, blk=blk, tt=tt,
+                               mm=mm, c_real=c_real)
+    col = lambda: pl.BlockSpec((blk, 1), lambda b, sel: (b, 0),
+                               memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, 16, tp),
+                         lambda b, sel: (jnp.maximum(sel[b], 0), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, cp), lambda b, sel: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk, 8), lambda b, sel: (b, 0),
+                         memory_space=pltpu.VMEM),
+            col(), col(), col(), col(),
+        ],
+        out_specs=(col(), col(), col(), col(),
+                   pl.BlockSpec((blk, mm), lambda b, sel: (b, 0),
+                                memory_space=pltpu.VMEM)),
+    )
+    out_shapes = (
+        jax.ShapeDtypeStruct((cap, 1), jnp.float32),
+        jax.ShapeDtypeStruct((cap, 1), jnp.int32),
+        jax.ShapeDtypeStruct((cap, 1), jnp.float32),
+        jax.ShapeDtypeStruct((cap, 1), jnp.float32),
+        jax.ShapeDtypeStruct((cap, mm), jnp.int32),
+    )
+    return pl.pallas_call(kernel, grid_spec=grid_spec,
+                          out_shape=out_shapes)(
+        sel, tris, boxes_t, rays8, it, ip, iu, iv)
+
+
+# ---------------------------------------------------------------------------
+# work-queue driver
+
+def _round(bf: BruteForest, rays8, octant, state, m_r: int, any_hit: bool,
+           blk: int, tt: int, mm: int):
+    """One multi-visit round: every live ray visits its next m_r chunks.
+    Slots (m-major: slot = m*bb + r) sort by (chunk, octant), each
+    chunk's segment pads to a block multiple so every kernel block holds
+    ONE chunk; per-slot results min-merge; the LAST valid slot's
+    next-chunk list carries to the next round (its cursor is furthest)."""
+    bt, bp, bu, bv, ncm = state
+    bb = rays8.shape[0]
+    c = bf.boxes.shape[0]
+    s = m_r * bb
+    cap = s + c * blk
+    nb = cap // blk
+
+    nc_used = ncm[:, :m_r]                               # (bb, m_r)
+    key = jnp.where(nc_used >= 0, nc_used, c)
+    keys = (key * 8 + octant[:, None]).T.reshape(-1)     # (S,) m-major
+    order = jnp.argsort(keys).astype(jnp.int32)
+    rank = jnp.argsort(order).astype(jnp.int32)
+    ch_sorted = keys[order] // 8
+    starts = jnp.searchsorted(ch_sorted, jnp.arange(c + 1),
+                              side="left").astype(jnp.int32)
+    count = starts[1:] - starts[:-1]
+    pc = -(-count // blk) * blk
+    ps = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(pc)])
+
+    bpos = jnp.arange(nb, dtype=jnp.int32) * blk
+    cb = jnp.clip(
+        jnp.searchsorted(ps, bpos, side="right").astype(jnp.int32) - 1,
+        0, c - 1)
+    s_idx = jnp.arange(cap, dtype=jnp.int32)
+    c_slot = jnp.repeat(cb, blk)
+    j = s_idx - ps[c_slot]
+    dead = (j < 0) | (j >= count[c_slot])
+    src = jnp.where(dead, 0,
+                    order[jnp.clip(starts[c_slot] + j, 0, s - 1)])
+    ray = src % bb
+    it = jnp.where(dead, 0.0, bt[ray])[:, None]
+    ip = jnp.where(dead, 1 if any_hit else 0, bp[ray])[:, None]
+    iu = bu[ray][:, None]
+    iv = bv[ray][:, None]
+
+    ot, op, ou, ov, onc = _launch(cb, bf.tris, bf.boxes_t, rays8[ray],
+                                  it, ip, iu, iv, any_hit=any_hit,
+                                  blk=blk, tt=tt, mm=mm, c_real=c)
+
+    # merge the m_r slot results back per ray
+    for m in range(m_r):
+        ch = nc_used[:, m]
+        valid = ch >= 0
+        ch_c = jnp.clip(ch, 0, c - 1)
+        srnk = rank[m * bb + jnp.arange(bb, dtype=jnp.int32)]
+        pos = jnp.clip(ps[ch_c] + (srnk - starts[ch_c]), 0, cap - 1)
+        if any_hit:
+            bp = jnp.where(valid, jnp.maximum(bp, op[pos, 0]), bp)
+        else:
+            better = valid & (ot[pos, 0] < bt)
+            bt = jnp.where(better, ot[pos, 0], bt)
+            bp = jnp.where(better, op[pos, 0], bp)
+            bu = jnp.where(better, ou[pos, 0], bu)
+            bv = jnp.where(better, ov[pos, 0], bv)
+        # furthest-cursor slot (ascending fold => last valid wins)
+        ncm = jnp.where(valid[:, None], onc[pos], ncm)
+    return bt, bp, bu, bv, ncm
+
+
+def _run_workqueue(bf: BruteForest, orig, dir, t_vec, any_hit: bool,
+                   blk: int, plan, mm: int, tt: int):
+    bb = orig.shape[0]
+    rays8 = jnp.concatenate(
+        [orig, dir, jnp.zeros((bb, 2), jnp.float32)], axis=1)
+    octant = ((dir[:, 0] < 0).astype(jnp.int32)
+              | ((dir[:, 1] < 0).astype(jnp.int32) << 1)
+              | ((dir[:, 2] < 0).astype(jnp.int32) << 2))
+
+    # scout launch: no visit, emit each lane's first next-chunk list
+    nb0 = bb // blk
+    sel0 = jnp.full((nb0,), -1, jnp.int32)
+    it0 = t_vec[:, None]
+    ip0 = jnp.zeros((bb, 1), jnp.int32) if any_hit \
+        else jnp.full((bb, 1), -1, jnp.int32)
+    z = jnp.zeros((bb, 1), jnp.float32)
+    ot, op, ou, ov, onc = _launch(sel0, bf.tris, bf.boxes_t, rays8,
+                                  it0, ip0, z, z, any_hit=any_hit,
+                                  blk=blk, tt=tt, mm=mm,
+                                  c_real=bf.boxes.shape[0])
+    state = (ot[:, 0], op[:, 0], ou[:, 0], ov[:, 0], onc)
+
+    for m_r in plan[:-1]:
+        state = _round(bf, rays8, octant, state, m_r, any_hit, blk, tt, mm)
+
+    def cond(s):
+        return jnp.any(s[4][:, 0] >= 0)
+
+    def body(s):
+        return _round(bf, rays8, octant, s, plan[-1], any_hit, blk, tt, mm)
+
+    state = jax.lax.while_loop(cond, body, state)
+    return state[:4]
+
+
+def _prep(orig, dir, t_max, blk):
+    b = orig.shape[0]
+    pad = (-b) % blk
+    t_vec = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (b,))
+    if pad:
+        orig = jnp.concatenate(
+            [orig, jnp.full((pad, 3), 3.0e37, orig.dtype)])
+        dir = jnp.concatenate(
+            [dir, jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], dir.dtype),
+                                   (pad, 3))])
+        t_vec = jnp.concatenate([t_vec, jnp.zeros((pad,), jnp.float32)])
+    return orig, dir, t_vec, b
+
+
+def traverse_closest(bf: BruteForest, orig, dir, t_max,
+                     blk: int = BLK, plan=PLAN, mm: int = MM,
+                     tt: int = 512) -> Traversal:
+    o, d, tv, b = _prep(orig, dir, t_max, blk)
+    tt = min(tt, bf.tris.shape[2])
+    bt, bp, bu, bv = _run_workqueue(bf, o, d, tv, False, blk, tuple(plan),
+                                    mm, tt)
+    return Traversal(bt[:b], bp[:b], bu[:b], bv[:b])
+
+
+def traverse_any(bf: BruteForest, orig, dir, t_max,
+                 blk: int = BLK, plan=PLAN, mm: int = MM,
+                 tt: int = 512) -> jnp.ndarray:
+    o, d, tv, b = _prep(orig, dir, t_max, blk)
+    tt = min(tt, bf.tris.shape[2])
+    _, bp, _, _ = _run_workqueue(bf, o, d, tv, True, blk, tuple(plan),
+                                 mm, tt)
+    return bp[:b] > 0

@@ -206,6 +206,7 @@ class HostScene:
         # per-chunk packet forest for the explicit "pallas" backend.
         wforest, wforest_maps = (), ()
         ftables = None
+        bforest = None
         table_bytes = (wide.nodes.size + wide.leaves.size) * 4
         if table_bytes > (8 << 20):
 
@@ -241,7 +242,7 @@ class HostScene:
                         leaf_width=int(h.leaves.shape[1]))))
                 wforest = tuple(chunks)
                 wforest_maps = tuple(jnp.asarray(m) for m in maps)
-            else:
+            elif os.environ.get("FLUCTUS_FOREST", "brute") == "treelet":
                 from fluctus_tpu.accel.forest import (TARGET_TRIS,
                                                       build_host_forest)
                 from fluctus_tpu.accel.wide import LEAF_WIDTH
@@ -256,6 +257,22 @@ class HostScene:
                                           build_binary, target_tris=tt,
                                           leaf_width=lw)
                 ftables = encode_forest(hostf)
+            else:
+                # DEFAULT big-scene path (r4): brute-chunk tables — no
+                # per-chunk hierarchy, no bf16 encode (the treelet encode
+                # cost 316 s at 6.3M tris, BASELINE r3f); build is a
+                # median split + array packing, seconds at 10M tris
+                from fluctus_tpu.accel.forest import (BRUTE_TARGET_TRIS,
+                                                      build_brute_forest)
+                from fluctus_tpu.core.types import BruteForest
+                tt = int(os.environ.get("FLUCTUS_BRUTE_TARGET_TRIS",
+                                        BRUTE_TARGET_TRIS))
+                hostb = build_brute_forest(self.v0, self.v1, self.v2,
+                                           target_tris=tt)
+                bforest = BruteForest(
+                    tris=jnp.asarray(hostb.tris),
+                    boxes=jnp.asarray(hostb.boxes),
+                    boxes_t=jnp.asarray(hostb.boxes_t))
         kd, ks, ke, ns, ni, map_kd, map_ks, map_n, bsdf_id = \
             self.material_arrays()
         mats = Materials(
@@ -275,7 +292,7 @@ class HostScene:
             alias_table=jnp.asarray(env.alias_table))
         return DeviceScene(geom=geom, bvh=bvh, pbvh=pbvh, wbvh=wbvh,
                            wforest=wforest, wforest_maps=wforest_maps,
-                           ftables=ftables,
+                           ftables=ftables, bforest=bforest,
                            materials=mats, atlas=atlas, envmap=envd)
 
 

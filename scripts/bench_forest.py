@@ -55,11 +55,17 @@ def main():
     print(f"SBVH build: {time.perf_counter()-t0:.1f} s")
     t0 = time.perf_counter()
     scene = host.to_device()
-    n_chunks = (scene.ftables.nodes.shape[0] if scene.ftables is not None
-                else len(scene.wforest))
+    if scene.bforest is not None:
+        n_chunks = scene.bforest.tris.shape[0]
+    elif scene.ftables is not None:
+        n_chunks = scene.ftables.nodes.shape[0]
+    else:
+        n_chunks = len(scene.wforest)
     print(f"upload+tables: {time.perf_counter()-t0:.1f} s; "
           f"forest chunks: {n_chunks}")
-    if scene.ftables is not None:
+    if scene.bforest is not None:
+        print(f"bforest (BRUTE): tris {scene.bforest.tris.shape}")
+    elif scene.ftables is not None:
         print(f"ftables: nodes {scene.ftables.nodes.shape} "
               f"leaves {scene.ftables.leaves.shape}")
 

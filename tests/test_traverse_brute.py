@@ -1,0 +1,136 @@
+"""Brute-chunk streamed traversal (ops/traverse_brute.py) vs oracle.
+
+Runs the Pallas kernel in interpret mode on CPU (same approach as the
+MXU/treelet tests); the real-hardware path is exercised by
+scripts/bench_forest.py --brute and the config-4 protocol runs."""
+import jax.experimental.pallas as pl
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import fluctus_tpu.ops.traverse_brute as tb
+from fluctus_tpu.accel import cpu_ref
+from fluctus_tpu.accel.forest import build_brute_forest
+from fluctus_tpu.core.types import BruteForest
+
+from test_bvh import random_rays, random_tris
+
+
+@pytest.fixture
+def interp(monkeypatch):
+    orig_call = pl.pallas_call
+    monkeypatch.setattr(
+        tb.pl, "pallas_call",
+        lambda *a, **k: orig_call(*a, **{**k, "interpret": True}))
+
+
+def make_brute(v0, v1, v2, target_tris=128, tile=128):
+    host = build_brute_forest(v0, v1, v2, target_tris=target_tris,
+                              tile=tile)
+    return BruteForest(tris=jnp.asarray(host.tris),
+                       boxes=jnp.asarray(host.boxes),
+                       boxes_t=jnp.asarray(host.boxes_t))
+
+
+def test_brute_closest_matches_oracle(rng, interp):
+    v0, v1, v2 = random_tris(rng, m=900)
+    orig, dir = random_rays(rng, b=640)
+    bf = make_brute(v0, v1, v2)
+    assert bf.tris.shape[0] >= 4  # several chunks
+    res = tb.traverse_closest(bf, jnp.asarray(orig), jnp.asarray(dir),
+                              np.float32(1e30))
+    t_ref, prim_ref, _, _ = cpu_ref.intersect_closest(v0, v1, v2, orig, dir)
+    np.testing.assert_array_equal(np.asarray(res.prim) >= 0, prim_ref >= 0)
+    hit = prim_ref >= 0
+    np.testing.assert_allclose(np.asarray(res.t)[hit], t_ref[hit],
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(res.prim)[hit], prim_ref[hit])
+
+
+def test_brute_any_matches_oracle(rng, interp):
+    v0, v1, v2 = random_tris(rng, m=700)
+    orig, dir = random_rays(rng, b=384)
+    bf = make_brute(v0, v1, v2)
+    t_max = np.full(len(orig), 2.5, np.float32)
+    blocked = tb.traverse_any(bf, jnp.asarray(orig), jnp.asarray(dir),
+                              jnp.asarray(t_max))
+    ref = cpu_ref.intersect_any(v0, v1, v2, orig, dir, t_max)
+    np.testing.assert_array_equal(np.asarray(blocked), ref)
+
+
+def test_brute_plans_agree(rng, interp):
+    """Different round plans (single-visit rounds vs the M-ramp) must
+    produce identical hits — the multi-visit merge loses only in-round
+    best-t pruning, never correctness."""
+    v0, v1, v2 = random_tris(rng, m=600)
+    orig, dir = random_rays(rng, b=256)
+    bf = make_brute(v0, v1, v2, target_tris=64)
+    r1 = tb.traverse_closest(bf, jnp.asarray(orig), jnp.asarray(dir),
+                             np.float32(1e30), plan=(1,), mm=4)
+    r2 = tb.traverse_closest(bf, jnp.asarray(orig), jnp.asarray(dir),
+                             np.float32(1e30), plan=(1, 2, 4), mm=4)
+    r3 = tb.traverse_closest(bf, jnp.asarray(orig), jnp.asarray(dir),
+                             np.float32(1e30), plan=(2, 4), mm=4)
+    np.testing.assert_array_equal(np.asarray(r1.prim), np.asarray(r2.prim))
+    np.testing.assert_array_equal(np.asarray(r1.prim), np.asarray(r3.prim))
+    np.testing.assert_array_equal(np.asarray(r1.t), np.asarray(r2.t))
+    np.testing.assert_array_equal(np.asarray(r1.t), np.asarray(r3.t))
+
+
+def test_brute_tmax_above_big_sentinel(rng, interp):
+    """f32-max t_max (what trace_scene passes) must not fabricate hits."""
+    v0, v1, v2 = random_tris(rng, m=300)
+    orig, dir = random_rays(rng, b=256)
+    orig[128:] += 100.0  # aim half the rays away from everything
+    bf = make_brute(v0, v1, v2)
+    res = tb.traverse_closest(bf, jnp.asarray(orig), jnp.asarray(dir),
+                              np.float32(3.4e38))
+    t_ref, prim_ref, _, _ = cpu_ref.intersect_closest(v0, v1, v2, orig, dir)
+    np.testing.assert_array_equal(np.asarray(res.prim) >= 0, prim_ref >= 0)
+
+
+def test_brute_single_chunk(rng, interp):
+    """Degenerate C=1 forest still answers (cp pads 1 -> 128)."""
+    v0, v1, v2 = random_tris(rng, m=60)
+    orig, dir = random_rays(rng, b=128)
+    bf = make_brute(v0, v1, v2, target_tris=4096)
+    assert bf.tris.shape[0] == 1
+    res = tb.traverse_closest(bf, jnp.asarray(orig), jnp.asarray(dir),
+                              np.float32(1e30))
+    t_ref, prim_ref, _, _ = cpu_ref.intersect_closest(v0, v1, v2, orig, dir)
+    np.testing.assert_array_equal(np.asarray(res.prim) >= 0, prim_ref >= 0)
+    hit = prim_ref >= 0
+    np.testing.assert_allclose(np.asarray(res.prim)[hit], prim_ref[hit])
+
+
+def test_trace_scene_dispatch_brute(rng, interp):
+    """End-to-end: a DeviceScene carrying bforest routes backend='mxu'
+    closest/any-hit (incl. the fused ext+shadow branch) through the
+    brute-chunk kernel and agrees with the wide backend."""
+    from fluctus_tpu.core.types import RenderConfig, default_params
+    from fluctus_tpu.integrators import common
+    from helpers import make_host_scene, diffuse_material
+
+    v0, v1, v2 = random_tris(rng, m=500)
+    host = make_host_scene(np.asarray(v0), np.asarray(v1), np.asarray(v2),
+                           materials=[diffuse_material()])
+    host.build_bvh(cache_dir=None, use_sbvh=False)
+    scene = host.to_device().replace(bforest=make_brute(v0, v1, v2))
+
+    orig, dir = random_rays(rng, b=256)
+    sh_orig, sh_dir = random_rays(rng, b=256)
+    sh_len = jnp.full((256,), 2.5, jnp.float32)
+    params = default_params(world_radius=host.world_radius())
+    cfg_b = RenderConfig(width=8, height=8, use_env_map=False,
+                         backend="mxu")
+    cfg_w = cfg_b.replace(backend="wide")
+
+    hit_b, blk_b = common.trace_scene_with_shadow(
+        scene, params, cfg_b, jnp.asarray(orig), jnp.asarray(dir),
+        jnp.asarray(sh_orig), jnp.asarray(sh_dir), sh_len)
+    hit_w, blk_w = common.trace_scene_with_shadow(
+        scene, params, cfg_w, jnp.asarray(orig), jnp.asarray(dir),
+        jnp.asarray(sh_orig), jnp.asarray(sh_dir), sh_len)
+    np.testing.assert_array_equal(np.asarray(hit_b.prim),
+                                  np.asarray(hit_w.prim))
+    np.testing.assert_array_equal(np.asarray(blk_b), np.asarray(blk_w))
