@@ -188,7 +188,14 @@ def hit_from_traversal(scene: DeviceScene, params: RenderParams,
     w = 1.0 - u - v
     n = vm.normalize(w * g.n0[p_safe] + u * g.n1[p_safe] + v * g.n2[p_safe])
     uv = w * g.uv0[p_safe] + u * g.uv1[p_safe] + v * g.uv2[p_safe]
-    p = orig + t_hit[:, None] * dir
+    # clamp the hit point to a sane range: miss lanes ride NEUTRALIZED
+    # rays with 3e37 origins (neutralize_rays), and a downstream
+    # squared-distance (area-light NEE / implicit pdf) overflows to inf —
+    # masked in the primal, but reverse-mode then multiplies a zero
+    # cotangent by an inf partial and the NaN flows into SHARED leaves
+    # like camera params (caught by the r4 camera-FD tests once the
+    # tilted test camera had miss lanes). Identity within any real scene.
+    p = jnp.clip(orig + t_hit[:, None] * dir, -1e15, 1e15)
     mat_id = jnp.where(hit_tri, g.mat_id[p_safe], 0)
 
     hit = Hit(t=jnp.where(safe, t_d, tr.t), prim=prim, p=p, n=n, uv=uv,

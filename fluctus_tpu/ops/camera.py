@@ -24,7 +24,12 @@ def generate_rays(camera: Camera, pixel_idx: jnp.ndarray, width: int,
     ndc_x = x / width
     ndc_y = y / height
     scr_x = 2.0 * ndc_x - 1.0
-    scr_y = 2.0 * ndc_y - 1.0
+    # Row 0 (stored/displayed TOP) must look toward +up: the reference
+    # maps scr_y = 2*ndc-1 but displays through GL whose row 0 is the
+    # BOTTOM-left origin (src/window.cpp PBO blit); with top-origin image
+    # storage the sign flips or every export is upside down (caught on
+    # the r4 kitchen interior render).
+    scr_y = 1.0 - 2.0 * ndc_y
     scr_x = scr_x * (width / height)
 
     scale = jnp.tan(jnp.deg2rad(0.5 * camera.fov))

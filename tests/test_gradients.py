@@ -72,9 +72,24 @@ def _camera_grad_session():
     (distance/cosine to the light), so camera parameters have nonzero
     gradients and no visibility edges pollute finite differences. A
     uniform-env uniform-plane scene is translation/zoom INVARIANT — its
-    camera gradients are exactly zero and would pass FD checks trivially."""
-    return plane_session(max_bounces=1, env_val=None, use_area_light=True,
-                         sample_impl=False)
+    camera gradients are exactly zero and would pass FD checks trivially.
+
+    The camera is TILTED off the plane normal: with a straight-down view
+    one lateral axis can land on a tiny badly-conditioned derivative
+    (measured: |dL/dx| ~ 1e-3 with FD flipping sign across h — caught
+    after the r4 row-0->+up orientation fix re-framed the light)."""
+    scene, params, cfg = plane_session(max_bounces=1, env_val=None,
+                                       use_area_light=True,
+                                       sample_impl=False)
+    d = np.array([0.35, -1.0, 0.2])
+    d /= np.linalg.norm(d)
+    r = np.cross(d, [0.0, 1.0, 0.0])
+    r /= np.linalg.norm(r)
+    u = np.cross(r, d)
+    cam = params.camera.replace(
+        dir=jnp.asarray(d, jnp.float32), right=jnp.asarray(r, jnp.float32),
+        up=jnp.asarray(u, jnp.float32))
+    return scene, params.replace(camera=cam), cfg
 
 
 def _fd_check_camera(field, x0, h, rtol=3e-2):

@@ -169,7 +169,14 @@ def test_auto_choice_invalidated_on_param_change():
     # same params object -> cache reused (key unchanged)
     driver.render(sess, 1, integrator="auto")
     assert sess._choice_key == first_key
-    # new params object -> key must change (re-probe happened)
+    # identical CONTENT in a new object -> key unchanged (the r3 id()-
+    # based key could recycle across unrelated objects; the content hash
+    # both fixes that and legitimately reuses equal-content params)
     sess.params = params.replace()
+    driver.render(sess, 1, integrator="auto")
+    assert sess._choice_key == first_key
+    # changed content -> re-probe (key differs)
+    cam = params.camera.replace(pos=params.camera.pos + 1.0)
+    sess.params = params.replace(camera=cam)
     driver.render(sess, 1, integrator="auto")
     assert sess._choice_key != first_key
