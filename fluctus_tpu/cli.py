@@ -71,6 +71,11 @@ def build_parser():
                    help="comma list: kd,ks,ns,ni,env_image,env_strength,"
                         "cam_pos,cam_dir,cam_fov,cam_aperture_size,"
                         "cam_focal_dist")
+    o.add_argument("--method", default="auto",
+                   choices=["auto", "lockstep", "stream"],
+                   help="gradient path: stream = streaming-wavefront "
+                        "fwd+bwd (~2.6x faster, same estimator); "
+                        "auto = stream off-CPU")
     return p
 
 
@@ -136,7 +141,8 @@ def cmd_optimize(args):
     run_optimization(make_session(args), target_path=args.target,
                      steps=args.steps, lr=args.lr, spp=args.spp,
                      out_dir=args.out_dir, minibatch=args.minibatch,
-                     diff_keys=tuple(args.diff_keys.split(",")))
+                     diff_keys=tuple(args.diff_keys.split(",")),
+                     method=args.method)
 
 
 def main(argv=None):

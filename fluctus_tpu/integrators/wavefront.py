@@ -695,10 +695,10 @@ def _bin_rows(rows, n_pix: int, spp: int):
 # ---------------------------------------------------------------------------
 
 def _stream_loss_segment(scene, params, cfg, pixel_idx, sample_idx, target,
-                         carry):
+                         carry, weight=None):
     """One differentiable pooled segment: advance every live lane one
-    bounce, fold finished lanes' squared error into the loss accumulator,
-    respawn from the strided ray list."""
+    bounce, fold finished lanes' loss contribution (see _fold_loss) into
+    the accumulator, respawn from the strided ray list."""
     n = pixel_idx.shape[0]
     sample_vec = _sample_vec(sample_idx, n)
     state, ray_id, counter, loss_acc, n_done = carry
@@ -708,10 +708,7 @@ def _stream_loss_segment(scene, params, cfg, pixel_idx, sample_idx, target,
     terminate = terminate & state.alive
     done = terminate & (path_len > 0)
 
-    tgt = target[jnp.minimum(ray_id, jnp.uint32(n - 1))]
-    diff = ei - tgt
-    loss_acc = loss_acc + jnp.sum(
-        jnp.where(done[:, None], diff * diff, 0.0))
+    loss_acc = _fold_loss(loss_acc, ei, done, ray_id, target, weight, n)
     n_done = n_done + jnp.sum(done.astype(jnp.uint32))
 
     rank = jnp.cumsum(terminate.astype(jnp.uint32)) - terminate
@@ -747,6 +744,24 @@ def _sample_vec(sample_idx, n: int):
     return jnp.broadcast_to(jnp.asarray(sample_idx, jnp.uint32), (n,))
 
 
+def _fold_loss(loss_acc, ei, done, ray_id, target, weight, n: int):
+    """Fold finished lanes into the scalar accumulator. Two forms:
+    L2 (weight None): sum((ei - target[ray])^2) — the self-contained
+    inverse-rendering loss. WEIGHTED: sum(weight[ray] . ei) with
+    stop-gradient weights — the primitive the production optimizer uses
+    to assemble the paired-sample gradient (I_B - t).dI_A + (I_A - t).dI_B
+    as per-ray folds (render/optimize.py; weights come from an
+    independent forward pass, so no per-pixel binning enters the
+    differentiated graph and no scatter appears in the backward)."""
+    idx = jnp.minimum(ray_id, jnp.uint32(n - 1))
+    if weight is None:
+        diff = ei - target[idx]
+        return loss_acc + jnp.sum(
+            jnp.where(done[:, None], diff * diff, 0.0))
+    w = jax.lax.stop_gradient(weight)[idx]
+    return loss_acc + jnp.sum(jnp.where(done[:, None], w * ei, 0.0))
+
+
 def _stream_loss_init(params, cfg, pixel_idx, sample_idx, pool: int):
     n = pixel_idx.shape[0]
     sample_vec = _sample_vec(sample_idx, n)
@@ -779,7 +794,7 @@ def _pend_init(pool: int):
 
 
 def _stream_loss_segment_d(scene, params, cfg, pixel_idx, sample_idx,
-                           target, carry):
+                           target, carry, weight=None):
     """Deferred-shadow variant of _stream_loss_segment: the previous
     segment's NEE shadow rays ride in the SAME traversal call as this
     segment's extension rays (common.trace_scene_with_shadow), and a
@@ -797,10 +812,9 @@ def _stream_loss_segment_d(scene, params, cfg, pixel_idx, sample_idx,
     # to the live path that generated it
     fin_has = fin_ray >= 0
     fin_total = fin_ei + resolved
-    tgt = target[jnp.clip(fin_ray, 0, n - 1)]
-    diff = fin_total - tgt
-    loss_acc = loss_acc + jnp.sum(
-        jnp.where(fin_has[:, None], diff * diff, 0.0))
+    loss_acc = _fold_loss(loss_acc, fin_total, fin_has,
+                          jnp.clip(fin_ray, 0, n - 1).astype(jnp.uint32),
+                          target, weight, n)
     n_done = n_done + jnp.sum(fin_has.astype(jnp.uint32))
     ei = ei + vm.where3(~fin_has, resolved, jnp.zeros_like(resolved))
 
@@ -837,16 +851,17 @@ def _stream_loss_segment_d(scene, params, cfg, pixel_idx, sample_idx,
 
 def stream_loss_deferred(scene: DeviceScene, params: RenderParams,
                          cfg: RenderConfig, pixel_idx, sample_idx, target,
-                         pool: int, n_segments: int):
+                         pool: int, n_segments: int, weight=None):
     """Deferred-shadow stream loss: one fused traversal per segment.
     Identical estimator to stream_loss (same RNG streams, same MIS
     weights; only the shadow resolve timing and float summation order
-    shift). Size n_segments with plan_stream_segments(deferred=True)."""
+    shift). Size n_segments with plan_stream_segments(deferred=True).
+    weight: see stream_loss."""
     if not (cfg.sample_expl and (cfg.use_env_map or cfg.use_area_light)):
         # no NEE => no shadow rays to defer; the immediate form is the
         # same estimator without the no-op fused shadow half (r3 advisor)
         return stream_loss(scene, params, cfg, pixel_idx, sample_idx,
-                           target, pool, n_segments)
+                           target, pool, n_segments, weight=weight)
     n = pixel_idx.shape[0]
     base = _stream_loss_init(params, cfg, pixel_idx, sample_idx, pool)
     carry = base + (_pend_init(pool),
@@ -855,35 +870,111 @@ def stream_loss_deferred(scene: DeviceScene, params: RenderParams,
 
     def body(carry, _):
         return _stream_loss_segment_d(scene, params, cfg, pixel_idx,
-                                      sample_idx, target, carry), None
+                                      sample_idx, target, carry,
+                                      weight=weight), None
 
     ckpt = jax.checkpoint(
         body, policy=jax.checkpoint_policies.save_only_these_names(
             "trace", "shadow"))
     carry, _ = jax.lax.scan(ckpt, carry, None, length=n_segments)
     loss_acc, n_done = carry[3], carry[4]
+    if weight is not None:
+        return loss_acc, n_done
     return loss_acc / jnp.float32(n * 3), n_done
 
 
 def stream_loss(scene: DeviceScene, params: RenderParams, cfg: RenderConfig,
-                pixel_idx, sample_idx, target, pool: int, n_segments: int):
-    """Differentiable L2 loss over one sample per listed pixel, computed by
-    the pooled streaming wavefront. Returns (loss, n_done); callers MUST
-    check n_done == len(pixel_idx) (see plan_stream_segments for sizing
-    n_segments — undrained rays would silently drop loss terms)."""
+                pixel_idx, sample_idx, target, pool: int, n_segments: int,
+                weight=None):
+    """Differentiable loss over one sample per listed pixel, computed by
+    the pooled streaming wavefront. Default form: mean squared error vs
+    target[ray]/3n. With `weight` (n, 3): returns the RAW weighted sum
+    sum_k stop_grad(weight[k]) . radiance_k — the building block for
+    paired-sample gradients (render/optimize.py). Returns
+    (loss, n_done); callers MUST check n_done == len(pixel_idx) (see
+    plan_stream_segments for sizing n_segments — undrained rays would
+    silently drop loss terms)."""
     n = pixel_idx.shape[0]
     carry = _stream_loss_init(params, cfg, pixel_idx, sample_idx, pool)
 
     def body(carry, _):
         return _stream_loss_segment(scene, params, cfg, pixel_idx,
-                                    sample_idx, target, carry), None
+                                    sample_idx, target, carry,
+                                    weight=weight), None
 
     ckpt = jax.checkpoint(
         body, policy=jax.checkpoint_policies.save_only_these_names(
             "trace", "shadow"))
     carry, _ = jax.lax.scan(ckpt, carry, None, length=n_segments)
     _, _, _, loss_acc, n_done = carry
+    if weight is not None:
+        return loss_acc, n_done
     return loss_acc / jnp.float32(n * 3), n_done
+
+
+@partial(jax.jit, static_argnames=("cfg", "pool", "n_segments"))
+def stream_radiance(scene: DeviceScene, params: RenderParams,
+                    cfg: RenderConfig, pixel_idx, sample_idx,
+                    pool: int, n_segments: int):
+    """FORWARD-ONLY per-ray radiance over a (pixel, sample) ray list via
+    the pooled stream: each segment emits finished lanes' radiance as
+    write-once rows keyed by ray id; one sort puts exactly one row per
+    ray id in list order (scatter-free). Returns ((n, 3) radiance,
+    n_done). Not differentiable by design — the backward of the binning
+    sort would be a pathological TPU scatter; the optimizer instead
+    computes gradients through the weighted stream_loss fold with
+    weights DERIVED from this pass (render/optimize.py)."""
+    n = pixel_idx.shape[0]
+    carry = _stream_loss_init(params, cfg, pixel_idx, sample_idx, pool)
+
+    def seg(c, _):
+        state, ray_id, counter, loss_acc, n_done = c
+        hit, terminate, ei, wo, new_t, s_pdf, singular, path_len = \
+            _segment_core(scene, params, cfg, state)
+        terminate = terminate & state.alive
+        done = terminate & (path_len > 0)
+        row_ray = jnp.where(done, ray_id.astype(jnp.int32), -1)
+        rows = (jnp.where(done, ei[:, 0], 0.0),
+                jnp.where(done, ei[:, 1], 0.0),
+                jnp.where(done, ei[:, 2], 0.0), row_ray)
+        n_done = n_done + jnp.sum(done.astype(jnp.uint32))
+
+        sample_vec = _sample_vec(sample_idx, n)
+        rank = jnp.cumsum(terminate.astype(jnp.uint32)) - terminate
+        new_ray = counter + rank
+        can = terminate & (new_ray < n)
+        n_spawned = jnp.sum(can.astype(jnp.uint32))
+        new_ray_c = jnp.where(can, new_ray, 0)
+        new_pix = pixel_idx[new_ray_c].astype(jnp.uint32)
+        samp = sample_vec[new_ray_c]
+        r_orig, r_dir = _raygen(params, cfg, new_pix, samp)
+        state = PathState(
+            orig=vm.where3(terminate, r_orig,
+                           hit.p + common.OFFSET_CONT * wo),
+            dir=vm.where3(terminate, r_dir, wo),
+            throughput=vm.where3(terminate, jnp.ones_like(new_t), new_t),
+            radiance=vm.where3(terminate, jnp.zeros_like(ei), ei),
+            pixel_index=jnp.where(terminate, new_pix, state.pixel_index),
+            sample_index=jnp.where(terminate, samp, state.sample_index),
+            path_len=jnp.where(terminate, 0, path_len).astype(jnp.uint32),
+            last_pdf_w=jnp.where(terminate, 1.0, s_pdf),
+            last_specular=jnp.where(terminate, True, singular),
+            alive=jnp.where(terminate, can, state.alive),
+        )
+        ray_id2 = jnp.where(terminate, new_ray_c.astype(jnp.uint32),
+                            ray_id)
+        return (state, ray_id2, counter + n_spawned, loss_acc, n_done), \
+            rows
+
+    (_, _, _, _, n_done), rows = jax.lax.scan(
+        seg, carry, None, length=n_segments)
+    r, g, b, ray = (x.reshape(-1) for x in rows)
+    keys = jnp.where(ray >= 0, ray, jnp.int32(0x7FFFFFFF)).astype(
+        jnp.uint32)
+    _, rs, gs, bs = jax.lax.sort((keys, r, g, b), num_keys=1,
+                                 is_stable=True)
+    rad = jnp.stack([rs[:n], gs[:n], bs[:n]], axis=1)
+    return rad, n_done
 
 
 @partial(jax.jit, static_argnames=("cfg", "pool", "cap", "deferred"))

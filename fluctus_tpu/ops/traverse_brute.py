@@ -35,6 +35,7 @@ work-queue (ops/traverse_forest.py _run_workqueue).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -44,9 +45,15 @@ from jax.experimental.pallas import tpu as pltpu
 from fluctus_tpu.core.types import BruteForest
 from fluctus_tpu.ops.traverse_mxu import TRI_EPS, Traversal
 
-BLK = 128           # rays per kernel block (one chunk per block)
-PLAN = (1, 2, 4)    # chunk visits per ray per round; last entry repeats
-MM = 4              # next-chunk lookahead the kernel emits per lane
+# module defaults, env-overridable for hardware sweeps
+# (scripts/sweep_brute.py): rays/block, visits-per-ray round plan (last
+# entry repeats in the drain loop), next-chunk lookahead, smallest
+# width-shrinking phase
+BLK = int(os.environ.get("FLUCTUS_BRUTE_BLK", "128"))
+PLAN = tuple(int(x) for x in
+             os.environ.get("FLUCTUS_BRUTE_PLAN", "1,2,4").split(","))
+MM = int(os.environ.get("FLUCTUS_BRUTE_MM", str(max(max(PLAN), 4))))
+MIN_PHASE_W = int(os.environ.get("FLUCTUS_BRUTE_PHASE_W", "1024"))
 # plain Python floats: jnp scalars would be captured as pallas constants
 _INF = float("inf")
 _BIG = 3.0e38
@@ -73,6 +80,43 @@ def _kernel(sel_ref, tris_ref, boxes_ref, rays_ref,
     cp = boxes_ref.shape[1]
     nt = tp // tt
 
+    best_t = it_ref[:, :]
+    best_p = ip_ref[:, :]
+    best_u = iu_ref[:, :]
+    best_v = iv_ref[:, :]
+
+    # seed all outputs first; fully-dead blocks (the sort clusters dead
+    # padding slots at the grid tail) then skip EVERY vector op below —
+    # without this, pad blocks paid the full C-wide slab + next-chunk
+    # scan (measured dominant at m=4 round caps)
+    ot_ref[:, :] = best_t
+    op_ref[:, :] = best_p
+    ou_ref[:, :] = best_u
+    ov_ref[:, :] = best_v
+    onc_ref[:, :] = jnp.full((blk, mm), -1, i32)
+
+    alive_in = best_p <= 0 if any_hit else jnp.full((blk, 1), True)
+    block_live = jnp.any((best_t > 0.0) & alive_in)
+
+    @pl.when(block_live)
+    def _run():
+        _kernel_body(c_id, tris_ref, boxes_ref, rays_ref, it_ref,
+                     ot_ref, op_ref, ou_ref, ov_ref, onc_ref,
+                     best_t, best_p, best_u, best_v,
+                     any_hit, blk, tt, mm, c_real)
+
+
+def _kernel_body(c_id, tris_ref, boxes_ref, rays_ref, it_ref,
+                 ot_ref, op_ref, ou_ref, ov_ref, onc_ref,
+                 best_t, best_p, best_u, best_v,
+                 any_hit: bool, blk: int, tt: int, mm: int, c_real: int):
+    f32 = jnp.float32
+    i32 = jnp.int32
+    scout = c_id < 0
+    tp = tris_ref.shape[2]
+    cp = boxes_ref.shape[1]
+    nt = tp // tt
+
     ox = rays_ref[:, 0:1]
     oy = rays_ref[:, 1:2]
     oz = rays_ref[:, 2:3]
@@ -82,11 +126,6 @@ def _kernel(sel_ref, tris_ref, boxes_ref, rays_ref,
     ix = _safe_inv(dx)
     iy = _safe_inv(dy)
     iz = _safe_inv(dz)
-
-    best_t = it_ref[:, :]
-    best_p = ip_ref[:, :]
-    best_u = iu_ref[:, :]
-    best_v = iv_ref[:, :]
 
     # slab test of ALL chunk AABBs: (blk, Cp) component planes. Used both
     # for this block's chunk entry (one-hot the c_id lane) and for the
@@ -118,15 +157,9 @@ def _kernel(sel_ref, tris_ref, boxes_ref, rays_ref,
 
     my_e = jnp.min(jnp.where(cid_iota == c_id, e_all, _INF), axis=1,
                    keepdims=True)
-    live = ~scout & (my_e < best_t)
+    live = ~scout & (my_e < best_t) & (best_t > 0.0)
     if any_hit:
         live = live & (best_p <= 0)
-
-    # seed outputs with the carry (scout / fully-pruned blocks keep them)
-    ot_ref[:, :] = best_t
-    op_ref[:, :] = best_p
-    ou_ref[:, :] = best_u
-    ov_ref[:, :] = best_v
 
     @pl.when(jnp.any(live))
     def _():
@@ -348,14 +381,59 @@ def _run_workqueue(bf: BruteForest, orig, dir, t_vec, any_hit: bool,
 
     for m_r in plan[:-1]:
         state = _round(bf, rays8, octant, state, m_r, any_hit, blk, tt, mm)
+    m_t = plan[-1]
 
-    def cond(s):
-        return jnp.any(s[4][:, 0] >= 0)
+    def live_count(s):
+        return jnp.sum((s[4][:, 0] >= 0).astype(jnp.int32))
 
-    def body(s):
-        return _round(bf, rays8, octant, s, plan[-1], any_hit, blk, tt, mm)
+    # --- width-shrinking drain (r3c design): the tail rounds process a
+    # few hundred live rays; running them at full width paid full-width
+    # sorts/gathers and a full-size kernel grid every round. Guard rounds
+    # at width w run only until the live set fits the next width, then
+    # the live rays COMPACT (sort by liveness + slice — gather only, no
+    # scatter; merged back by rank-gather at the end).
+    widths = []
+    w = bb
+    while w // 4 >= max(blk, MIN_PHASE_W):
+        w = max(blk, w // 4)
+        widths.append(w)
+    widths = widths[:2]
 
-    state = jax.lax.while_loop(cond, body, state)
+    def drain(state, rays8_w, octant_w, w_next):
+        def cond(s):
+            more = s[4][:, 0] >= 0
+            n_live = jnp.sum(more.astype(jnp.int32))
+            return (n_live > w_next) if w_next else (n_live > 0)
+
+        def body(s):
+            return _round(bf, rays8_w, octant_w, s, m_t, any_hit, blk,
+                          tt, mm)
+        return jax.lax.while_loop(cond, body, state)
+
+    stack = []
+    cur_rays, cur_oct = rays8, octant
+    for w in widths:
+        state = drain(state, cur_rays, cur_oct, w)
+        live = state[4][:, 0] >= 0
+        order = jnp.argsort(jnp.where(live, 0, 1),
+                            stable=True).astype(jnp.int32)
+        rank = jnp.argsort(order).astype(jnp.int32)
+        take = order[:w]
+        stack.append((state, rank))
+        state = tuple(a[take] for a in state)
+        cur_rays = cur_rays[take]
+        cur_oct = cur_oct[take]
+    state = drain(state, cur_rays, cur_oct, 0)
+
+    # merge compacted results back out, innermost phase first
+    for full_state, rank in reversed(stack):
+        w = state[0].shape[0]
+        inside = rank < w
+        r_c = jnp.minimum(rank, w - 1)
+        state = tuple(
+            jnp.where(inside if a_full.ndim == 1 else inside[:, None],
+                      a_sub[r_c], a_full)
+            for a_full, a_sub in zip(full_state, state))
     return state[:4]
 
 

@@ -252,15 +252,16 @@ def grad_step(diff_params, scene, params, cfg, pixel_idx, sample_idx, target,
 
 def loss_fn_stream(diff_params, scene: DeviceScene, params, cfg, pixel_idx,
                    sample_idx, target, pool: int, n_segments: int,
-                   deferred: bool = False):
+                   deferred: bool = False, weight=None):
     """L2 image loss via the differentiable STREAMING wavefront
     (wavefront.stream_loss): identical value to loss_fn (bit-compatible
     counter RNG) at ~E[path len]/(max_bounces+1) of the traced work — the
-    fwd+bwd throughput path. Returns (loss, n_done); n_done must equal
+    fwd+bwd throughput path. With `weight`, the weighted-fold form (see
+    wavefront.stream_loss). Returns (loss, n_done); n_done must equal
     len(pixel_idx) (size n_segments with wavefront.plan_stream_segments)."""
     from fluctus_tpu.integrators import wavefront
     scene, params = graft(diff_params, scene, params)
     fn = (wavefront.stream_loss_deferred if deferred
           else wavefront.stream_loss)
     return fn(scene, params, cfg, pixel_idx, sample_idx,
-              target, pool, n_segments)
+              target, pool, n_segments, weight=weight)

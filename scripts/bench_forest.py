@@ -90,7 +90,9 @@ def main():
     hit_m = common.trace_scene(scene, None, cfg, po, pd)
     r_w = traverse_wide.traverse_closest(scene.wbvh, po, pd, common.T_MAX)
     mm = int(jnp.sum(hit_m.prim != r_w.prim))
-    same = np.asarray(hit_m.prim == r_w.prim)
+    # compare t only on agreeing HITS: miss lanes carry backend-specific
+    # far sentinels (wide 3.0e38 vs brute/forest t_max 3.4e38)
+    same = np.asarray((hit_m.prim == r_w.prim) & (r_w.prim >= 0))
     tm = np.asarray(hit_m.t)[same]
     tw = np.asarray(r_w.t)[same]
     neq = tm != tw

@@ -47,7 +47,8 @@ def icosphere(subdiv=3, radius=1.0, center=(0, 0, 0)):
 
 
 def write_obj(path, objects, materials):
-    """objects: list of (name, mat, verts, faces, normals_or_None)."""
+    """objects: list of (name, mat, verts, faces, normals_or_None[, uvs])
+    — uvs (optional 6th element) are per-vertex (n, 2) texture coords."""
     mtl_path = os.path.splitext(path)[0] + ".mtl"
     with open(mtl_path, "w") as f:
         for name, props in materials.items():
@@ -62,20 +63,31 @@ def write_obj(path, objects, materials):
         f.write(f"mtllib {os.path.basename(mtl_path)}\n")
         off = 1
         noff = 1
-        for name, mat, verts, faces, normals in objects:
+        toff = 1
+        for obj in objects:
+            name, mat, verts, faces, normals = obj[:5]
+            uvs = obj[5] if len(obj) > 5 else None
             f.write(f"o {name}\nusemtl {mat}\n")
             for v in verts:
                 f.write(f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f}\n")
             if normals is not None:
                 for n in normals:
                     f.write(f"vn {n[0]:.6f} {n[1]:.6f} {n[2]:.6f}\n")
-                for a, b, c in faces:
-                    f.write(f"f {a+off}//{a+noff} {b+off}//{b+noff} "
-                            f"{c+off}//{c+noff}\n")
+            if uvs is not None:
+                for t in uvs:
+                    f.write(f"vt {t[0]:.6f} {t[1]:.6f}\n")
+            for a, b, c in faces:
+                def ref(i):
+                    s = f"{i+off}"
+                    s += f"/{i+toff}" if uvs is not None else "/"
+                    if normals is not None:
+                        s += f"/{i+noff}"
+                    return s.rstrip("/")
+                f.write(f"f {ref(a)} {ref(b)} {ref(c)}\n")
+            if normals is not None:
                 noff += len(normals)
-            else:
-                for a, b, c in faces:
-                    f.write(f"f {a+off} {b+off} {c+off}\n")
+            if uvs is not None:
+                toff += len(uvs)
             off += len(verts)
 
 
@@ -141,6 +153,156 @@ def make_cornell(out_dir):
     write_obj(os.path.join(out_dir, "cornell_proxy.obj"), objs, mats)
 
 
+def _box(lo, hi):
+    """Axis-aligned box: 8 verts x 3 copies (per-face normals), 12 tris,
+    face-planar UVs."""
+    lo = np.asarray(lo, np.float64)
+    hi = np.asarray(hi, np.float64)
+    verts, normals, uvs, faces = [], [], [], []
+    ext = hi - lo
+    axes = [((0, 1, 2), 1), ((1, 2, 0), 1), ((2, 0, 1), 1)]
+    for (a, b, c), _ in axes:
+        for side in (0, 1):
+            n = np.zeros(3)
+            n[a] = 1.0 if side else -1.0
+            base = len(verts)
+            for (ub, vb) in ((0, 0), (1, 0), (1, 1), (0, 1)):
+                p = np.zeros(3)
+                p[a] = hi[a] if side else lo[a]
+                p[b] = lo[b] + ub * ext[b]
+                p[c] = lo[c] + vb * ext[c]
+                verts.append(p)
+                normals.append(n.copy())
+                uvs.append((ub * ext[b], vb * ext[c]))
+            order = [(0, 1, 2), (0, 2, 3)] if side else [(0, 2, 1),
+                                                         (0, 3, 2)]
+            for f in order:
+                faces.append(tuple(base + i for i in f))
+    return (np.asarray(verts), np.asarray(faces, np.int64),
+            np.asarray(normals), np.asarray(uvs))
+
+
+def _make_textures(out_dir):
+    """Procedural texture PNGs: checkerboard floor tiles + wood grain +
+    a ripple normal map (exercises map_Kd + map_bump, SURVEY §2.5)."""
+    from PIL import Image
+    rng = np.random.default_rng(7)
+    n = 256
+    yy, xx = np.mgrid[0:n, 0:n] / n
+
+    check = ((np.floor(xx * 8) + np.floor(yy * 8)) % 2)
+    base = np.stack([0.75 - 0.45 * check, 0.72 - 0.40 * check,
+                     0.66 - 0.34 * check], -1)
+    base += rng.normal(0, 0.02, base.shape)
+    Image.fromarray((np.clip(base, 0, 1) ** (1 / 2.2) * 255)
+                    .astype(np.uint8)).save(
+        os.path.join(out_dir, "kitchen_floor.png"))
+
+    grain = np.sin(xx * 40 + 3 * np.sin(yy * 6)) * 0.5 + 0.5
+    wood = np.stack([0.45 + 0.25 * grain, 0.27 + 0.15 * grain,
+                     0.12 + 0.06 * grain], -1)
+    wood += rng.normal(0, 0.015, wood.shape)
+    Image.fromarray((np.clip(wood, 0, 1) ** (1 / 2.2) * 255)
+                    .astype(np.uint8)).save(
+        os.path.join(out_dir, "kitchen_wood.png"))
+
+    # tangent-space ripple normal map for the floor
+    h = 0.05 * np.sin(xx * 50) * np.sin(yy * 50)
+    gy, gx = np.gradient(h)
+    nrm = np.stack([-gx * 40, -gy * 40, np.ones_like(h)], -1)
+    nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True)
+    Image.fromarray(((nrm * 0.5 + 0.5) * 255).astype(np.uint8)).save(
+        os.path.join(out_dir, "kitchen_floor_n.png"))
+
+
+def make_kitchen(out_dir):
+    """Config-3 protocol stand-in (country_kitchen-class: the reference
+    snapshot ships only its .mtl): a CLOSED textured interior exercising
+    the full 7-type BSDF taxonomy, map_Kd/map_bump textures, and 8-bounce
+    indirect light — lit by a rectangular area light (reference protocol:
+    src/tracer.cpp:384-389 renders Country-Kitchen.obj)."""
+    _make_textures(out_dir)
+    objs = []
+    w, d, h = 5.0, 4.0, 2.8           # room extents
+
+    def quad(a, b, c, dd, nrm, uv_scale=1.0):
+        v = np.asarray([a, b, c, dd], np.float64)
+        f = np.array([(0, 1, 2), (0, 2, 3)])
+        n = np.tile(np.asarray(nrm, np.float64), (4, 1))
+        e1 = np.linalg.norm(v[1] - v[0])
+        e2 = np.linalg.norm(v[3] - v[0])
+        uv = np.array([(0, 0), (e1, 0), (e1, e2), (0, e2)]) * uv_scale
+        return v, f, n, uv
+
+    objs.append(("floor", "floor",
+                 *quad((0, 0, 0), (w, 0, 0), (w, 0, d), (0, 0, d),
+                       (0, 1, 0))))
+    objs.append(("ceil", "plaster",
+                 *quad((0, h, 0), (0, h, d), (w, h, d), (w, h, 0),
+                       (0, -1, 0))))
+    objs.append(("wall_n", "plaster",
+                 *quad((0, 0, 0), (0, h, 0), (w, h, 0), (w, 0, 0),
+                       (0, 0, 1))))
+    objs.append(("wall_s", "plaster",
+                 *quad((0, 0, d), (w, 0, d), (w, h, d), (0, h, d),
+                       (0, 0, -1))))
+    objs.append(("wall_w", "plaster",
+                 *quad((0, 0, 0), (0, 0, d), (0, h, d), (0, h, 0),
+                       (1, 0, 0))))
+    objs.append(("wall_e", "plaster",
+                 *quad((w, 0, 0), (w, h, 0), (w, h, d), (w, 0, d),
+                       (-1, 0, 0))))
+
+    # counters + table + shelf (textured wood boxes)
+    for i, (lo, hi) in enumerate([
+            ((0.1, 0.0, 0.1), (2.6, 0.9, 0.7)),     # counter run
+            ((0.1, 0.0, 3.3), (1.4, 0.9, 3.9)),     # island
+            ((3.0, 0.0, 2.6), (4.4, 0.75, 3.6)),    # table
+            ((0.1, 1.6, 0.1), (1.8, 1.75, 0.5)),    # shelf
+            ((4.6, 0.0, 0.1), (4.9, 1.9, 0.9))]):   # cabinet
+        objs.append((f"wood{i}", "wood", *_box(lo, hi)))
+
+    # props: full BSDF coverage on curved geometry
+    def ball(name, mat, c, r, sub=4):
+        v, f = icosphere(sub, r, c)
+        n = (v - np.asarray(c)) / r
+        return (name, mat, v, f, n)
+
+    objs.append(ball("pot", "steel", (0.7, 1.05, 0.4), 0.15))
+    objs.append(ball("kettle", "brushed", (1.6, 1.03, 0.4), 0.13))
+    objs.append(ball("glass", "glass", (3.4, 0.89, 3.0), 0.14))
+    objs.append(ball("vase", "ceramic", (3.9, 0.92, 3.2), 0.17))
+    objs.append(ball("apple", "apple", (1.0, 0.97, 3.6), 0.07, sub=3))
+    objs.append(ball("orange", "orange", (0.8, 0.97, 3.5), 0.07, sub=3))
+    objs.append(ball("jug", "frosted", (0.4, 1.87, 0.3), 0.11, sub=3))
+    objs.append(ball("bulb_fix", "steel", (2.5, 2.6, 2.0), 0.08, sub=3))
+
+    mats = {
+        "floor": {"Kd": (0.8, 0.8, 0.8), "map_Kd": "kitchen_floor.png",
+                  "map_bump": "kitchen_floor_n.png",
+                  "shader": "diffuse"},
+        "plaster": {"Kd": (0.70, 0.67, 0.60), "shader": "diffuse"},
+        "wood": {"Kd": (0.8, 0.8, 0.8), "map_Kd": "kitchen_wood.png",
+                 "Ks": (0.15, 0.15, 0.15), "Ni": 1.45, "Ns": 60,
+                 "shader": "glossy"},
+        "steel": {"Ks": (0.85, 0.86, 0.88), "shader": "ideal_reflection"},
+        "brushed": {"Ks": (0.7, 0.68, 0.65), "Ni": 2.7, "Ns": 300,
+                    "shader": "rough_reflection"},
+        "glass": {"Ks": (0.95, 0.95, 0.95), "Ni": 1.5,
+                  "shader": "ideal_dielectric"},
+        "frosted": {"Ks": (0.9, 0.9, 0.9), "Ni": 1.5, "Ns": 400,
+                    "shader": "rough_dielectric"},
+        "ceramic": {"Kd": (0.26, 0.42, 0.55), "Ks": (0.4, 0.4, 0.4),
+                    "Ni": 1.5, "Ns": 150, "shader": "glossy"},
+        "apple": {"Kd": (0.55, 0.08, 0.05), "Ks": (0.3, 0.3, 0.3),
+                  "Ni": 1.4, "Ns": 120, "shader": "glossy"},
+        "orange": {"Kd": (0.8, 0.35, 0.04), "shader": "diffuse"},
+    }
+    write_obj(os.path.join(out_dir, "kitchen_proxy.obj"), objs, mats)
+    n_tris = sum(len(o[3]) for o in objs)
+    print(f"kitchen_proxy.obj: {n_tris} tris, {len(mats)} materials")
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("-o", "--out-dir", default="assets")
@@ -148,4 +310,6 @@ if __name__ == "__main__":
     os.makedirs(args.out_dir, exist_ok=True)
     make_luxball(args.out_dir)
     make_cornell(args.out_dir)
-    print(f"wrote luxball_proxy.obj + cornell_proxy.obj to {args.out_dir}")
+    make_kitchen(args.out_dir)
+    print(f"wrote luxball_proxy + cornell_proxy + kitchen_proxy to "
+          f"{args.out_dir}")

@@ -20,12 +20,21 @@ from fluctus_tpu.render import driver
 from fluctus_tpu.render.benchmark import run_benchmark, run_benchmark_stream
 
 ASSETS = "/root/reference/assets"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+# (name, path, env_map, use_area_light, max_bounces)
 SCENES = [
     ("egyptcat", f"{ASSETS}/egyptcat/egyptcat.obj",
-     f"{ASSETS}/env_maps/night.hdr"),
-    ("psor-cube", f"{ASSETS}/psor/psor-cube.obj", None),
-    ("gold_rings", f"{ASSETS}/gold_rings/gold_rings_bark.obj", None),
-    ("teapot", f"{ASSETS}/teapot.ply", f"{ASSETS}/env_maps/night.hdr"),
+     f"{ASSETS}/env_maps/night.hdr", False, 4),
+    ("psor-cube", f"{ASSETS}/psor/psor-cube.obj", None, False, 4),
+    ("gold_rings", f"{ASSETS}/gold_rings/gold_rings_bark.obj", None,
+     False, 4),
+    ("teapot", f"{ASSETS}/teapot.ply", f"{ASSETS}/env_maps/night.hdr",
+     False, 4),
+    # config-3 stand-in (country_kitchen-class: closed textured interior,
+    # full BSDF set, 8 bounces; camera+ceiling light restored from the
+    # committed data/states entry) — the reference protocol's third scene
+    # ships without its .obj (src/tracer.cpp:384-389)
+    ("kitchen", f"{REPO}/assets/kitchen_proxy.obj", None, True, 8),
 ]
 
 
@@ -36,17 +45,19 @@ def main():
     os.makedirs("out", exist_ok=True)
 
     summary = []
-    for name, path, env in SCENES:
+    for name, path, env, area, mb in SCENES:
         if not os.path.exists(path):
             print(f"skip {name}: {path} missing")
             continue
-        cfg = RenderConfig(width=1024, height=1024, max_bounces=4,
+        cfg = RenderConfig(width=1024, height=1024, max_bounces=mb,
                            use_env_map=env is not None,
-                           use_area_light=False)
+                           use_area_light=area)
         sess = driver.create_session(path, env_map=env, cfg=cfg,
                                      use_sbvh=True,
                                      cache_dir="data/hierarchies",
-                                     state_dir=None)
+                                     state_dir="data/states" if area
+                                     else None,
+                                     auto_frame=not area)
         auto_pick = driver.choose_integrator(sess)
         rows = {}
         for integ, fn in (("lockstep", run_benchmark),

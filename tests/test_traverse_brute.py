@@ -134,3 +134,23 @@ def test_trace_scene_dispatch_brute(rng, interp):
     np.testing.assert_array_equal(np.asarray(hit_b.prim),
                                   np.asarray(hit_w.prim))
     np.testing.assert_array_equal(np.asarray(blk_b), np.asarray(blk_w))
+
+
+def test_brute_width_phases(rng, interp, monkeypatch):
+    """Force the width-shrinking drain phases (compaction + rank-gather
+    merge) at test scale — they only engage above MIN_PHASE_W rays."""
+    monkeypatch.setattr(tb, "MIN_PHASE_W", 64)
+    v0, v1, v2 = random_tris(rng, m=700)
+    orig, dir = random_rays(rng, b=640)
+    bf = make_brute(v0, v1, v2, target_tris=64)
+    res = tb.traverse_closest(bf, jnp.asarray(orig), jnp.asarray(dir),
+                              np.float32(1e30))
+    t_ref, prim_ref, _, _ = cpu_ref.intersect_closest(v0, v1, v2, orig, dir)
+    np.testing.assert_array_equal(np.asarray(res.prim) >= 0, prim_ref >= 0)
+    hit = prim_ref >= 0
+    np.testing.assert_allclose(np.asarray(res.prim)[hit], prim_ref[hit])
+    blocked = tb.traverse_any(bf, jnp.asarray(orig), jnp.asarray(dir),
+                              jnp.full((640,), 2.5, jnp.float32))
+    ref = cpu_ref.intersect_any(v0, v1, v2, orig, dir,
+                                np.full(640, 2.5, np.float32))
+    np.testing.assert_array_equal(np.asarray(blocked), ref)
