@@ -9,6 +9,7 @@ earlier revisions timed one contiguous 64k-pixel tile, which covers only
 the sky-heavy top quarter of this framing and overstated throughput.
 """
 import json
+import os
 import time
 
 
@@ -34,10 +35,15 @@ def main():
     # np.asarray(img) download costs ~200-300 ms through this
     # environment's device relay — a transport artifact, not render time.
     scfg = sess.cfg.replace(pool_size=min(sess.cfg.pool_size, 1 << 14))
+    # A/B knob for HW tuning runs: deferred fuses each segment's ext rays
+    # with the previous segment's NEE shadow rays into ONE traversal call
+    # (each pallas call costs a fixed ~1.4 ms on this toolchain)
+    deferred = os.environ.get("FLUCTUS_BENCH_DEFERRED", "0") == "1"
 
     def frame():
         img, _ = wavefront.render_stream(sess.scene, sess.params, scfg,
-                                         spp, segments_per_launch=32)
+                                         spp, segments_per_launch=32,
+                                         deferred=deferred)
         return float(jnp.sum(img))
 
     # compile + warmup + sanity (unconditional: an assert would be stripped

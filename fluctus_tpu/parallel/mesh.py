@@ -250,6 +250,39 @@ def grad_step(diff_params, scene, params, cfg, pixel_idx, sample_idx, target,
     return loss, new_params
 
 
+def grad_step_stream(diff_params, scene, params, cfg, pixel_idx,
+                     sample_idx, target, pool: int, n_segments: int,
+                     mesh: Mesh, lr=1e-2):
+    """One SGD step through the STREAMING fwd+bwd path, data-parallel
+    over chips: each shard drains its own pool over its contiguous slice
+    of the ray list (the stream's respawn cumsum is shard-local — no
+    cross-chip ray migration, SURVEY §2.4), scene/params replicated,
+    loss/grads pmean'd over the rays axis. pixel_idx/target must be
+    ray-sharded; returns (loss, new_params, n_done_total)."""
+    from jax.sharding import PartitionSpec as P_
+
+    def local(diff, pix, tgt):
+        def lf(d):
+            return loss_fn_stream(d, scene, params, cfg, pix, sample_idx,
+                                  tgt, pool, n_segments, deferred=True)
+        (loss, n_done), grads = jax.value_and_grad(lf, has_aux=True)(diff)
+        loss = jax.lax.pmean(loss, RAY_AXIS)
+        grads = jax.lax.pmean(grads, RAY_AXIS)
+        n_done = jax.lax.psum(n_done, RAY_AXIS)
+        new = jax.tree_util.tree_map(lambda p, g: p - lr * g, diff, grads)
+        return loss, new, n_done
+
+    # check_vma off: the stream's scan carry starts replicated (pool init
+    # from closure constants) and becomes rays-varying inside the loop,
+    # which the static varying-axis checker rejects; collectives here are
+    # just the final pmean/psum, verified by the 8-device test
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P_(), P_(RAY_AXIS), P_(RAY_AXIS)),
+        out_specs=(P_(), P_(), P_()), check_vma=False)
+    return fn(diff_params, pixel_idx, target)
+
+
 def loss_fn_stream(diff_params, scene: DeviceScene, params, cfg, pixel_idx,
                    sample_idx, target, pool: int, n_segments: int,
                    deferred: bool = False, weight=None):

@@ -82,3 +82,36 @@ def test_scaling_benchmark_stream():
     assert all(r["mrays_s"] > 0 for r in res)
     # every shard spawned/traced rays (balance strictly positive)
     assert all(0.0 < r["shard_ray_balance"] <= 1.0 for r in res)
+
+
+def test_grad_step_stream_sharded_matches_lockstep():
+    """The sharded STREAMING grad step (per-shard pools, pmean'd grads —
+    the r4 production fwd+bwd path) computes the same loss and the same
+    updated params as the unsharded lockstep grad_step: identical
+    estimator via bit-compatible counter RNG."""
+    from fluctus_tpu.integrators import wavefront
+
+    scene, params, cfg = plane_session(max_bounces=1)
+    n_pix = cfg.width * cfg.height
+    idx = jnp.arange(n_pix, dtype=jnp.uint32)
+    target = jnp.zeros((n_pix, 3), jnp.float32)
+    diff = {"kd": scene.materials.kd}
+    loss1, new1 = pmesh.grad_step(diff, scene, params, cfg, idx,
+                                  jnp.uint32(0), target)
+
+    mesh = pmesh.make_mesh(jax.devices()[:8])
+    s, p = pmesh.place(scene, params, mesh)
+    idx_s = jax.device_put(idx, pmesh.ray_sharded(mesh))
+    tgt_s = jax.device_put(target, pmesh.ray_sharded(mesh))
+    n_loc = n_pix // 8
+    k, _ = wavefront.plan_stream_segments(
+        scene, params, cfg, jnp.arange(n_loc, dtype=jnp.uint32),
+        jnp.uint32(0), 128, deferred=True)
+    loss2, new2, nd = pmesh.grad_step_stream(
+        diff, s, p, cfg, idx_s, jnp.uint32(0), tgt_s, 128, int(k) + 2,
+        mesh)
+    assert int(nd) == n_pix
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(new1["kd"]),
+                               np.asarray(new2["kd"]), rtol=1e-4,
+                               atol=1e-7)
