@@ -110,7 +110,7 @@ class HostBrute:
     #                       hiz 0 0], pad chunks pushed to 3e37 (never hit)
 
 
-BRUTE_TARGET_TRIS = 2048
+BRUTE_TARGET_TRIS = 8192
 
 
 def build_brute_forest(v0, v1, v2,

@@ -302,7 +302,16 @@ def _round(bf: BruteForest, rays8, octant, state, m_r: int, any_hit: bool,
     bb = rays8.shape[0]
     c = bf.boxes.shape[0]
     s = m_r * bb
-    cap = s + c * blk
+    # Cap the distinct chunks scheduled per round at nz and renumber the
+    # active ones DENSELY: the padded-slot bound becomes s + nz*blk,
+    # independent of C (at 6.3M tris C=3584 made the old C*blk term
+    # 458k pad slots per 16k-ray round — 30x overhead, BASELINE r4c).
+    # Rays whose chunk falls beyond the first nz distinct stay live with
+    # an unmoved cursor and reschedule next round; the first nz distinct
+    # chunks always carry rays, so every round makes progress.
+    nz = min(c, int(os.environ.get("FLUCTUS_BRUTE_NZ",
+                                   max(128, (2 * s) // blk))))
+    cap = s + nz * blk
     nb = cap // blk
 
     nc_used = ncm[:, :m_r]                               # (bb, m_r)
@@ -310,50 +319,73 @@ def _round(bf: BruteForest, rays8, octant, state, m_r: int, any_hit: bool,
     keys = (key * 8 + octant[:, None]).T.reshape(-1)     # (S,) m-major
     order = jnp.argsort(keys).astype(jnp.int32)
     rank = jnp.argsort(order).astype(jnp.int32)
-    ch_sorted = keys[order] // 8
-    starts = jnp.searchsorted(ch_sorted, jnp.arange(c + 1),
-                              side="left").astype(jnp.int32)
-    count = starts[1:] - starts[:-1]
-    pc = -(-count // blk) * blk
+    ks = keys[order]
+    ch_sorted = ks // 8
+    live_s = ch_sorted < c                               # dead keys last
+    first = live_s & jnp.concatenate(
+        [jnp.ones((1,), bool), ch_sorted[1:] != ch_sorted[:-1]])
+    dense = jnp.cumsum(first.astype(jnp.int32)) - 1      # per sorted elem
+
+    dj = jnp.arange(nz, dtype=jnp.int32)
+    dense_key = jnp.where(live_s, dense, jnp.int32(0x7FFFFFFF))
+    starts_d = jnp.searchsorted(dense_key, dj,
+                                side="left").astype(jnp.int32)
+    ends_d = jnp.searchsorted(dense_key, dj,
+                              side="right").astype(jnp.int32)
+    count_d = ends_d - starts_d
+    chunk_of = ch_sorted[jnp.clip(starts_d, 0, s - 1)]
+    pc = -(-count_d // blk) * blk
     ps = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(pc)])
 
     bpos = jnp.arange(nb, dtype=jnp.int32) * blk
-    cb = jnp.clip(
+    cbd = jnp.clip(
         jnp.searchsorted(ps, bpos, side="right").astype(jnp.int32) - 1,
-        0, c - 1)
+        0, nz - 1)
+    sel = jnp.where(count_d[cbd] > 0,
+                    jnp.clip(chunk_of[cbd], 0, c - 1), 0)
     s_idx = jnp.arange(cap, dtype=jnp.int32)
-    c_slot = jnp.repeat(cb, blk)
-    j = s_idx - ps[c_slot]
-    dead = (j < 0) | (j >= count[c_slot])
+    d_slot = jnp.repeat(cbd, blk)
+    j = s_idx - ps[d_slot]
+    dead = (j < 0) | (j >= count_d[d_slot])
     src = jnp.where(dead, 0,
-                    order[jnp.clip(starts[c_slot] + j, 0, s - 1)])
+                    order[jnp.clip(starts_d[d_slot] + j, 0, s - 1)])
     ray = src % bb
     it = jnp.where(dead, 0.0, bt[ray])[:, None]
     ip = jnp.where(dead, 1 if any_hit else 0, bp[ray])[:, None]
     iu = bu[ray][:, None]
     iv = bv[ray][:, None]
 
-    ot, op, ou, ov, onc = _launch(cb, bf.tris, bf.boxes_t, rays8[ray],
+    ot, op, ou, ov, onc = _launch(sel, bf.tris, bf.boxes_t, rays8[ray],
                                   it, ip, iu, iv, any_hit=any_hit,
                                   blk=blk, tt=tt, mm=mm, c_real=c)
 
-    # merge the m_r slot results back per ray
+    # merge the m_r slot results back per ray (only SCHEDULED slots —
+    # dense id within this round's nz window). Hit results merge from
+    # ANY scheduled slot (idempotent min), but the carried next-chunk
+    # list may only advance along a PREFIX of scheduled slots: a ray's
+    # 2nd-next chunk can land inside the nz window while its 1st-next
+    # does not (dense order is by chunk id, next-lists by entry
+    # distance), and taking the 2nd slot's cursor would walk PAST the
+    # unvisited 1st chunk forever (caught by test_brute_dense_chunk_cap).
+    prefix = jnp.ones((bb,), bool)
     for m in range(m_r):
-        ch = nc_used[:, m]
-        valid = ch >= 0
-        ch_c = jnp.clip(ch, 0, c - 1)
+        valid = nc_used[:, m] >= 0
         srnk = rank[m * bb + jnp.arange(bb, dtype=jnp.int32)]
-        pos = jnp.clip(ps[ch_c] + (srnk - starts[ch_c]), 0, cap - 1)
+        did = dense[srnk]
+        sched = valid & (did < nz)
+        did_c = jnp.clip(did, 0, nz - 1)
+        pos = jnp.clip(ps[did_c] + (srnk - starts_d[did_c]), 0, cap - 1)
         if any_hit:
-            bp = jnp.where(valid, jnp.maximum(bp, op[pos, 0]), bp)
+            bp = jnp.where(sched, jnp.maximum(bp, op[pos, 0]), bp)
         else:
-            better = valid & (ot[pos, 0] < bt)
+            better = sched & (ot[pos, 0] < bt)
             bt = jnp.where(better, ot[pos, 0], bt)
             bp = jnp.where(better, op[pos, 0], bp)
             bu = jnp.where(better, ou[pos, 0], bu)
             bv = jnp.where(better, ov[pos, 0], bv)
-        # furthest-cursor slot (ascending fold => last valid wins)
-        ncm = jnp.where(valid[:, None], onc[pos], ncm)
+        use = sched & prefix
+        ncm = jnp.where(use[:, None], onc[pos], ncm)
+        prefix = use
     return bt, bp, bu, bv, ncm
 
 

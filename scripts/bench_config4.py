@@ -68,8 +68,15 @@ def main():
     scene = host.to_device()
     jax.block_until_ready(scene.geom.v0)
     t_up = time.perf_counter() - t0
-    nch = scene.ftables.nodes.shape[0] if scene.ftables is not None else 0
-    print(f"upload + forest encode: {t_up:.1f} s; chunks {nch}")
+    if scene.bforest is not None:
+        nch = scene.bforest.tris.shape[0]
+        kind = "brute"
+    elif scene.ftables is not None:
+        nch = scene.ftables.nodes.shape[0]
+        kind = "treelet"
+    else:
+        nch, kind = 0, "none"
+    print(f"upload + forest tables: {t_up:.1f} s; {kind} chunks {nch}")
 
     # protocol render: 1024², env-free (synthetic scene), stream integrator
     cfg = RenderConfig(width=1024, height=1024, max_bounces=4,

@@ -154,3 +154,24 @@ def test_brute_width_phases(rng, interp, monkeypatch):
     ref = cpu_ref.intersect_any(v0, v1, v2, orig, dir,
                                 np.full(640, 2.5, np.float32))
     np.testing.assert_array_equal(np.asarray(blocked), ref)
+
+
+def test_brute_dense_chunk_cap(rng, interp):
+    """More active chunks than the per-round dense window (nz): capped
+    rounds must still converge to the oracle — unscheduled rays carry an
+    unmoved cursor and reschedule (r4c fix for the C*blk pad blowup)."""
+    v0, v1, v2 = random_tris(rng, m=2000)
+    orig, dir = random_rays(rng, b=256)
+    bf = make_brute(v0, v1, v2, target_tris=8)
+    assert bf.tris.shape[0] > 128  # forces nz < C at this ray count
+    res = tb.traverse_closest(bf, jnp.asarray(orig), jnp.asarray(dir),
+                              np.float32(1e30))
+    t_ref, prim_ref, _, _ = cpu_ref.intersect_closest(v0, v1, v2, orig, dir)
+    np.testing.assert_array_equal(np.asarray(res.prim) >= 0, prim_ref >= 0)
+    hit = prim_ref >= 0
+    np.testing.assert_allclose(np.asarray(res.prim)[hit], prim_ref[hit])
+    blocked = tb.traverse_any(bf, jnp.asarray(orig), jnp.asarray(dir),
+                              jnp.full((256,), 2.5, jnp.float32))
+    ref = cpu_ref.intersect_any(v0, v1, v2, orig, dir,
+                                np.full(256, 2.5, np.float32))
+    np.testing.assert_array_equal(np.asarray(blocked), ref)
