@@ -126,8 +126,18 @@ def trace_scene(scene: DeviceScene, params: RenderParams, cfg: RenderConfig,
     return hit_from_traversal(scene, params, cfg, orig, dir, tr)
 
 
+def _check_backend_data(scene, cfg):
+    if cfg.backend in ("jnp", "packed", "wide", "pallas") \
+            and scene.wbvh is None:
+        raise ValueError(
+            f"backend '{cfg.backend}' needs the full hierarchy, but this "
+            "scene was uploaded via the fast big-scene path (brute forest "
+            "only). Use backend='mxu' or set FLUCTUS_FAST_BIG=0.")
+
+
 def _traverse_closest_tr(scene, cfg, orig, dir, t_max):
     """Backend-dispatched raw closest traversal (t_max may be per-lane)."""
+    _check_backend_data(scene, cfg)
     g = scene.geom
     if cfg.backend == "jnp":
         tr = traverse.traverse_closest(scene.bvh, g.v0, g.v1, g.v2, orig,
@@ -292,6 +302,7 @@ class NeeResult(NamedTuple):
 def _shadow_blocked(scene, params, cfg, orig, ldir, lens, check_area_quad):
     """Occlusion test incl. the (virtual) area-light quad blocking env rays
     (reference: mk_sample_bsdf.cl:88-93)."""
+    _check_backend_data(scene, cfg)
     if cfg.backend == "jnp":
         g = scene.geom
         blocked = traverse.traverse_any(scene.bvh, g.v0, g.v1, g.v2, orig,

@@ -58,7 +58,11 @@ def create_session(scene_path: str, env_map: str | None = None,
     per-scene saved state (reference: Tracer::init, src/tracer.cpp:55-80 +
     loadState :634-687)."""
     host = load_scene(scene_path, env_map=env_map)
-    host.build_bvh(cache_dir=cache_dir, use_sbvh=use_sbvh)
+    from fluctus_tpu.scene.scene import fast_big_eligible
+    if not fast_big_eligible(host):
+        # the fast big-scene path (scene.py::_to_device_fast_big) needs
+        # no hierarchy at all — skip the minutes-scale build
+        host.build_bvh(cache_dir=cache_dir, use_sbvh=use_sbvh)
     device = host.to_device()
 
     if cfg is None:

@@ -56,13 +56,17 @@ def main():
     args = ap.parse_args()
 
     host = build_scene(args.grid, args.subdiv)
-    t0 = time.perf_counter()
-    host.build_bvh(cache_dir=None, use_sbvh=True)      # C++ builder, no cache
-    t_build = time.perf_counter() - t0
-    st = host.bvh.stats or {}
-    print(f"SBVH build (C++): {t_build:.1f} s; nodes {host.bvh.n_nodes}, "
-          f"refs {len(host.bvh.prim_idx)}, "
-          f"dup {st.get('duplication_pct', float('nan')):.1f}%")
+    from fluctus_tpu.scene.scene import fast_big_eligible
+    if fast_big_eligible(host):
+        print("fast big-scene path: no hierarchy build (brute forest)")
+    else:
+        t0 = time.perf_counter()
+        host.build_bvh(cache_dir=None, use_sbvh=True)  # C++ builder, no cache
+        t_build = time.perf_counter() - t0
+        st = host.bvh.stats or {}
+        print(f"SBVH build (C++): {t_build:.1f} s; "
+              f"nodes {host.bvh.n_nodes}, refs {len(host.bvh.prim_idx)}, "
+              f"dup {st.get('duplication_pct', float('nan')):.1f}%")
 
     t0 = time.perf_counter()
     scene = host.to_device()

@@ -4,6 +4,8 @@ the XLA wide backend on probe rays, then time coherent/incoherent
 stages (chained, scalar-fetched)."""
 import os
 import sys
+
+os.environ.setdefault("FLUCTUS_FAST_BIG", "0")  # need wbvh for the oracle
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

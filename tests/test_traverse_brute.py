@@ -175,3 +175,28 @@ def test_brute_dense_chunk_cap(rng, interp):
     ref = cpu_ref.intersect_any(v0, v1, v2, orig, dir,
                                 np.full(256, 2.5, np.float32))
     np.testing.assert_array_equal(np.asarray(blocked), ref)
+
+
+def test_fast_big_eligibility_and_guard(monkeypatch):
+    """fast_big_eligible gates on size + env; the backend guard raises a
+    clear error when a hierarchy-needing backend meets a fast-big scene."""
+    import types
+    from fluctus_tpu.scene.scene import fast_big_eligible
+    from fluctus_tpu.integrators.common import _check_backend_data
+    from fluctus_tpu.core.types import RenderConfig
+
+    small = types.SimpleNamespace(v0=np.zeros((1000, 3)))
+    big = types.SimpleNamespace(v0=np.zeros((200_000, 3)))
+    assert not fast_big_eligible(small)
+    assert fast_big_eligible(big)
+    monkeypatch.setenv("FLUCTUS_FAST_BIG", "0")
+    assert not fast_big_eligible(big)
+    monkeypatch.delenv("FLUCTUS_FAST_BIG")
+    monkeypatch.setenv("FLUCTUS_FOREST", "treelet")
+    assert not fast_big_eligible(big)
+
+    scene = types.SimpleNamespace(wbvh=None)
+    cfg = RenderConfig(width=8, height=8, backend="wide")
+    with pytest.raises(ValueError, match="fast big-scene"):
+        _check_backend_data(scene, cfg)
+    _check_backend_data(scene, cfg.replace(backend="mxu"))  # ok
