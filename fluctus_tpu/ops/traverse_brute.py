@@ -316,6 +316,26 @@ def _round(bf: BruteForest, rays8, octant, state, m_r: int, any_hit: bool,
 
     nc_used = ncm[:, :m_r]                               # (bb, m_r)
     key = jnp.where(nc_used >= 0, nc_used, c)
+    if m_r > 1 and nz < c:
+        # The dense window must be built from FIRST-slot chunks only:
+        # picking the nz smallest ids over ALL slots can fill the window
+        # entirely with m>=1 slots while every ray's m=0 slot stays
+        # outside — no cursor ever advances (prefix rule) and the round
+        # loop spins forever (observed as a TPU watchdog kill at
+        # C=1024+). Window = first nz distinct m=0 chunks; later slots
+        # demote to dead unless their chunk is inside it.
+        k0 = jnp.sort(key[:, 0])
+        first0 = jnp.concatenate(
+            [jnp.ones((1,), bool), k0[1:] != k0[:-1]]) & (k0 < c)
+        dense0 = jnp.cumsum(first0.astype(jnp.int32)) - 1
+        d0_key = jnp.where(k0 < c, dense0, jnp.int32(0x7FFFFFFF))
+        w_start = jnp.searchsorted(
+            d0_key, jnp.arange(nz, dtype=jnp.int32),
+            side="left").astype(jnp.int32)
+        wc = jnp.where(w_start < bb, k0[jnp.clip(w_start, 0, bb - 1)], c)
+        pos_w = jnp.clip(jnp.searchsorted(wc, key), 0, nz - 1)
+        member = wc[pos_w] == key
+        key = jnp.where(member, key, c)
     keys = (key * 8 + octant[:, None]).T.reshape(-1)     # (S,) m-major
     order = jnp.argsort(keys).astype(jnp.int32)
     rank = jnp.argsort(order).astype(jnp.int32)
@@ -372,7 +392,9 @@ def _round(bf: BruteForest, rays8, octant, state, m_r: int, any_hit: bool,
         valid = nc_used[:, m] >= 0
         srnk = rank[m * bb + jnp.arange(bb, dtype=jnp.int32)]
         did = dense[srnk]
-        sched = valid & (did < nz)
+        # live_s guards window-demoted slots: their sorted position sits
+        # in the dead region where the dense cumsum plateaus below nz
+        sched = valid & live_s[srnk] & (did < nz)
         did_c = jnp.clip(did, 0, nz - 1)
         pos = jnp.clip(ps[did_c] + (srnk - starts_d[did_c]), 0, cap - 1)
         if any_hit:
@@ -431,16 +453,27 @@ def _run_workqueue(bf: BruteForest, orig, dir, t_vec, any_hit: bool,
         widths.append(w)
     widths = widths[:2]
 
+    # rounds are bounded by C per ray (each round advances every
+    # scheduled ray's cursor by >= 1 chunk; >= 1 ray is always
+    # scheduled); the hard cap is a safety net so a scheduling bug can
+    # never spin the device into a watchdog kill (observed pre-fix when
+    # the dense window starved every m=0 slot)
+    c = bf.boxes.shape[0]
+    round_cap = jnp.int32(2 * c + 16)
+
     def drain(state, rays8_w, octant_w, w_next):
         def cond(s):
-            more = s[4][:, 0] >= 0
+            r, st = s
+            more = st[4][:, 0] >= 0
             n_live = jnp.sum(more.astype(jnp.int32))
-            return (n_live > w_next) if w_next else (n_live > 0)
+            live_ok = (n_live > w_next) if w_next else (n_live > 0)
+            return live_ok & (r < round_cap)
 
         def body(s):
-            return _round(bf, rays8_w, octant_w, s, m_t, any_hit, blk,
-                          tt, mm)
-        return jax.lax.while_loop(cond, body, state)
+            r, st = s
+            return r + 1, _round(bf, rays8_w, octant_w, st, m_t, any_hit,
+                                 blk, tt, mm)
+        return jax.lax.while_loop(cond, body, (jnp.int32(0), state))[1]
 
     stack = []
     cur_rays, cur_oct = rays8, octant
