@@ -273,11 +273,11 @@ class HostScene:
                 # per-chunk hierarchy, no bf16 encode (the treelet encode
                 # cost 316 s at 6.3M tris, BASELINE r3f); build is a
                 # median split + array packing, seconds at 10M tris
-                from fluctus_tpu.accel.forest import (BRUTE_TARGET_TRIS,
-                                                      build_brute_forest)
+                from fluctus_tpu.accel.forest import build_brute_forest
                 from fluctus_tpu.core.types import BruteForest
-                tt = int(os.environ.get("FLUCTUS_BRUTE_TARGET_TRIS",
-                                        BRUTE_TARGET_TRIS))
+                tt = int(os.environ.get(
+                    "FLUCTUS_BRUTE_TARGET_TRIS",
+                    _brute_auto_target(len(self.v0))))
                 hostb = build_brute_forest(self.v0, self.v1, self.v2,
                                            target_tris=tt)
                 bforest = BruteForest(
@@ -335,7 +335,7 @@ class HostScene:
             uv0=jnp.asarray(self.uv0), uv1=jnp.asarray(self.uv1),
             uv2=jnp.asarray(self.uv2), mat_id=jnp.asarray(self.mat_id))
         tt = int(os.environ.get("FLUCTUS_BRUTE_TARGET_TRIS",
-                                BRUTE_TARGET_TRIS))
+                                _brute_auto_target(len(self.v0))))
         hostb = build_brute_forest(self.v0, self.v1, self.v2,
                                    target_tris=tt)
         bforest = BruteForest(
@@ -346,6 +346,19 @@ class HostScene:
         return DeviceScene(geom=geom, bvh=None, pbvh=None, wbvh=None,
                            bforest=bforest,
                            materials=mats, atlas=atlas, envmap=envd)
+
+
+def _brute_auto_target(n_tris: int) -> int:
+    """Brute chunk size scaled to the scene: chunk count (scheduling +
+    per-block all-C slab cost) and per-visit tile-loop cost trade off —
+    measured sweet spots: 8192 tris/chunk at 703k tris (C=86-128),
+    32768 at 6.3M (C=192; the 8192 default there made C=1024 and ran
+    5x slower, BASELINE r4c)."""
+    import math
+    if n_tris <= 0:
+        return 8192
+    return 1 << int(np.clip(round(math.log2(max(n_tris / 192, 1))),
+                            13, 15))
 
 
 def fast_big_eligible(host) -> bool:
