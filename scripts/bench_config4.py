@@ -108,7 +108,8 @@ def main():
         target = jnp.zeros((n, 3), jnp.float32)
         pool = 1 << 12
         k, drained = wavefront.plan_stream_segments(
-            sess.scene, sess.params, cfg, pix, jnp.uint32(0), pool)
+            sess.scene, sess.params, cfg, pix, jnp.uint32(0), pool,
+            deferred=True)
         n_seg = (int(k) + 4 + 3) // 4 * 4
         print(f"grad: {n} rays, pool {pool}, {int(k)} segments "
               f"(drained {int(drained)})")
@@ -118,7 +119,7 @@ def main():
             (loss, n_done), g = jax.value_and_grad(
                 loss_fn_stream, has_aux=True)(
                 d, sess.scene, sess.params, cfg, pix, jnp.uint32(0),
-                target, pool, n_seg)
+                target, pool, n_seg, deferred=True)
             return loss + sum(jnp.sum(v) * 1e-30 for v in g.values()), n_done
 
         l, nd = both(diff)
