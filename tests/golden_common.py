@@ -73,10 +73,23 @@ def golden_session(name: str):
             cfg=cfg, use_sbvh=True, cache_dir=None, state_dir=None)
         sess.params = sess.params.replace(area_light=_cornell_light())
         return sess, 8
+    if name == "kitchen_cfg3":
+        # BASELINE config 3: closed textured interior, full BSDF set,
+        # 8 bounces, map_Kd/map_bump, ceiling area light (camera/light
+        # restored from the committed data/states entry)
+        cfg = RenderConfig(width=64, height=64, max_bounces=8,
+                           use_area_light=True, use_env_map=False)
+        sess = driver.create_session(
+            os.path.join(REPO, "assets", "kitchen_proxy.obj"),
+            env_map=None, cfg=cfg, use_sbvh=True, cache_dir=None,
+            state_dir=os.path.join(REPO, "data", "states"),
+            auto_frame=False)
+        return sess, 4
     raise KeyError(name)
 
 
-GOLDEN_NAMES = ("teapot_cfg1", "luxball_cfg2", "cornell_area")
+GOLDEN_NAMES = ("teapot_cfg1", "luxball_cfg2", "cornell_area",
+                "kitchen_cfg3")
 
 
 def render_golden(name: str) -> np.ndarray:
