@@ -30,7 +30,7 @@ def ray_counts_per_sample(cfg, n_pix):
 
 
 def run_benchmark(session, duration_s: float = 30.0, scene_name: str = "",
-                  csv_path: str | None = None, spp_per_iter: int = 1):
+                  csv_path: str | None = None, spp_per_iter: int = 4):
     """Render repeatedly for `duration_s`, report MRays/s. Returns a dict;
     optionally writes the reference-schema CSV."""
     cfg = session.cfg

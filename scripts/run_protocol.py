@@ -70,9 +70,15 @@ def main():
                   f"{r['samples_mrays_s']*1e6/1e6:6.2f} Msamples/s, "
                   f"{r['samples_per_pixel']:.1f} spp", flush=True)
         winner = max(rows, key=lambda k: rows[k]["samples_mrays_s"])
-        ok = auto_pick == winner
+        vals = [rows[k]["samples_mrays_s"] for k in rows]
+        # within 5% the integrators are equal to measurement noise (at
+        # 30 s the heavy scenes fit ~1 frame per integrator): either
+        # choice is correct
+        tie = (max(vals) - min(vals)) <= 0.05 * max(vals)
+        ok = tie or auto_pick == winner
         print(f"{name:10s} auto picked {auto_pick}; winner by samples/s: "
-              f"{winner} -> {'OK' if ok else 'MISS'}", flush=True)
+              f"{winner}{' (tie)' if tie else ''} -> "
+              f"{'OK' if ok else 'MISS'}", flush=True)
         summary.append({
             "scene": name, "auto": auto_pick, "winner": winner,
             "auto_correct": ok,
