@@ -35,10 +35,11 @@ def main():
     # np.asarray(img) download costs ~200-300 ms through this
     # environment's device relay — a transport artifact, not render time.
     scfg = sess.cfg.replace(pool_size=min(sess.cfg.pool_size, 1 << 14))
-    # A/B knob for HW tuning runs: deferred fuses each segment's ext rays
-    # with the previous segment's NEE shadow rays into ONE traversal call
-    # (each pallas call costs a fixed ~1.4 ms on this toolchain)
-    deferred = os.environ.get("FLUCTUS_BENCH_DEFERRED", "0") == "1"
+    # deferred fuses each segment's ext rays with the previous segment's
+    # NEE shadow rays into ONE traversal call (each pallas call costs a
+    # fixed ~1.4 ms on this toolchain) — measured 66.3 vs 64.1 MRays/s
+    # on this config (r4); now the default, env-overridable for A/Bs
+    deferred = os.environ.get("FLUCTUS_BENCH_DEFERRED", "1") == "1"
 
     def frame():
         img, _ = wavefront.render_stream(sess.scene, sess.params, scfg,

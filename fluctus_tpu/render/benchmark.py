@@ -124,7 +124,7 @@ def run_benchmark_stream(session, duration_s: float = 30.0,
     def frame():
         img, counters = wavefront.render_stream(
             session.scene, session.params, cfg, spp_per_frame,
-            segments_per_launch=32)
+            segments_per_launch=32, deferred=True)
         return np.asarray(counters, np.float64)
 
     frame()  # compile/warm

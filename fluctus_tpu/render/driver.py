@@ -224,7 +224,8 @@ def render(session: RenderSession, spp: int,
                    int(np.clip(n_pix // 16, 1 << 12, 1 << 16)))
         cfg = cfg.replace(pool_size=pool)
         img, _ = wavefront.render_stream(session.scene, session.params,
-                                         cfg, spp, segments_per_launch=32)
+                                         cfg, spp, segments_per_launch=32,
+                                         deferred=True)
         return np.asarray(img)
     img = lockstep.render(session.scene, session.params, session.cfg, spp)
     return np.asarray(img)
