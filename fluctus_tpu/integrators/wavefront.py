@@ -785,6 +785,19 @@ def _stream_loss_init(params, cfg, pixel_idx, sample_idx, pool: int):
             jnp.float32(0.0), jnp.uint32(0))
 
 
+def _stream_ckpt_policy():
+    """Checkpoint policy for the differentiable stream scan. Default:
+    save ONLY the named traversal/occlusion residuals (backward remats
+    shading — minimal memory, never re-runs a traversal kernel).
+    FLUCTUS_STREAM_SAVE=all saves every intermediate instead (no remat:
+    backward is a pure transpose — trades HBM for compute; A/B on HW)."""
+    import os
+    if os.environ.get("FLUCTUS_STREAM_SAVE", "named") == "all":
+        return jax.checkpoint_policies.everything_saveable
+    return jax.checkpoint_policies.save_only_these_names(
+        "trace", "shadow")
+
+
 def _pend_init(pool: int):
     """Neutralized no-op pending shadow state (deferred-NEE carry)."""
     z3 = jnp.zeros((pool, 3), jnp.float32)
@@ -873,9 +886,7 @@ def stream_loss_deferred(scene: DeviceScene, params: RenderParams,
                                       sample_idx, target, carry,
                                       weight=weight), None
 
-    ckpt = jax.checkpoint(
-        body, policy=jax.checkpoint_policies.save_only_these_names(
-            "trace", "shadow"))
+    ckpt = jax.checkpoint(body, policy=_stream_ckpt_policy())
     carry, _ = jax.lax.scan(ckpt, carry, None, length=n_segments)
     loss_acc, n_done = carry[3], carry[4]
     if weight is not None:
@@ -902,9 +913,7 @@ def stream_loss(scene: DeviceScene, params: RenderParams, cfg: RenderConfig,
                                     sample_idx, target, carry,
                                     weight=weight), None
 
-    ckpt = jax.checkpoint(
-        body, policy=jax.checkpoint_policies.save_only_these_names(
-            "trace", "shadow"))
+    ckpt = jax.checkpoint(body, policy=_stream_ckpt_policy())
     carry, _ = jax.lax.scan(ckpt, carry, None, length=n_segments)
     _, _, _, loss_acc, n_done = carry
     if weight is not None:
