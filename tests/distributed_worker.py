@@ -57,6 +57,23 @@ def main():
         new["kd"].addressable_shards[0].data).reshape(-1)[0])
     print(f"RESULT pid={pid} loss={loss_v:.9f} kd0={kd0:.9f}", flush=True)
 
+    # the STREAMING grad step (per-shard pools, pmean'd grads) across
+    # real OS processes — the r4 production fwd+bwd path
+    from fluctus_tpu.integrators import wavefront
+    n_loc = n_pix // n_dev
+    k, _ = wavefront.plan_stream_segments(
+        scene, params, cfg, jnp.arange(n_loc, dtype=jnp.uint32),
+        jnp.uint32(0), 64, deferred=True)
+    s_loss, s_new, s_nd = pmesh.grad_step_stream(
+        diff, scene, params, cfg, idx, jnp.uint32(0), tgt, 64,
+        int(k) + 2, mesh)
+    s_loss_v = float(np.asarray(s_loss.addressable_shards[0].data))
+    s_kd0 = float(np.asarray(
+        s_new["kd"].addressable_shards[0].data).reshape(-1)[0])
+    s_nd_v = int(np.asarray(s_nd.addressable_shards[0].data))
+    print(f"STREAM pid={pid} loss={s_loss_v:.9f} kd0={s_kd0:.9f} "
+          f"nd={s_nd_v}", flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -63,3 +63,17 @@ def test_two_process_grad_step_matches_single():
     np.testing.assert_allclose(results[0][1],
                                float(np.asarray(new["kd"]).reshape(-1)[0]),
                                rtol=1e-5)
+
+    # the streaming grad step across processes: full drain, identical
+    # loss to the lockstep step (same estimator via counter RNG), and
+    # both processes agree
+    for out in outs:
+        m = re.search(r"STREAM pid=(\d) loss=([0-9.eE+-]+) "
+                      r"kd0=([0-9.eE+-]+) nd=(\d+)", out)
+        assert m, out[-3000:]
+        assert int(m.group(4)) == n_pix
+        np.testing.assert_allclose(float(m.group(2)), float(loss),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(float(m.group(3)),
+                                   float(np.asarray(new["kd"])
+                                         .reshape(-1)[0]), rtol=1e-4)
