@@ -457,9 +457,15 @@ def _run_workqueue(bf: BruteForest, orig, dir, t_vec, any_hit: bool,
     # scheduled ray's cursor by >= 1 chunk; >= 1 ray is always
     # scheduled); the hard cap is a safety net so a scheduling bug can
     # never spin the device into a watchdog kill (observed pre-fix when
-    # the dense window starved every m=0 slot)
+    # the dense window starved every m=0 slot). If the cap fires with
+    # rays still holding next-chunk cursors the walk is TRUNCATED (their
+    # current best is returned); that case is surfaced via the
+    # `exhausted` flag so tests/protocol runs can detect it instead of
+    # silently accepting wrong closest hits / unblocked shadow rays.
     c = bf.boxes.shape[0]
-    round_cap = jnp.int32(2 * c + 16)
+    round_cap = jnp.int32(int(os.environ.get("FLUCTUS_BRUTE_ROUND_CAP",
+                                             2 * c + 16)))
+    exhausted = jnp.bool_(False)
 
     def drain(state, rays8_w, octant_w, w_next):
         def cond(s):
@@ -473,12 +479,18 @@ def _run_workqueue(bf: BruteForest, orig, dir, t_vec, any_hit: bool,
             r, st = s
             return r + 1, _round(bf, rays8_w, octant_w, st, m_t, any_hit,
                                  blk, tt, mm)
-        return jax.lax.while_loop(cond, body, (jnp.int32(0), state))[1]
+        state = jax.lax.while_loop(cond, body, (jnp.int32(0), state))[1]
+        n_live = jnp.sum((state[4][:, 0] >= 0).astype(jnp.int32))
+        # live rays beyond w_next here mean the cap fired (a width phase
+        # would then drop them at compaction; the final phase w_next=0
+        # would return them truncated)
+        return state, n_live > w_next
 
     stack = []
     cur_rays, cur_oct = rays8, octant
     for w in widths:
-        state = drain(state, cur_rays, cur_oct, w)
+        state, trunc = drain(state, cur_rays, cur_oct, w)
+        exhausted = exhausted | trunc
         live = state[4][:, 0] >= 0
         order = jnp.argsort(jnp.where(live, 0, 1),
                             stable=True).astype(jnp.int32)
@@ -488,7 +500,8 @@ def _run_workqueue(bf: BruteForest, orig, dir, t_vec, any_hit: bool,
         state = tuple(a[take] for a in state)
         cur_rays = cur_rays[take]
         cur_oct = cur_oct[take]
-    state = drain(state, cur_rays, cur_oct, 0)
+    state, trunc = drain(state, cur_rays, cur_oct, 0)
+    exhausted = exhausted | trunc
 
     # merge compacted results back out, innermost phase first
     for full_state, rank in reversed(stack):
@@ -499,7 +512,7 @@ def _run_workqueue(bf: BruteForest, orig, dir, t_vec, any_hit: bool,
             jnp.where(inside if a_full.ndim == 1 else inside[:, None],
                       a_sub[r_c], a_full)
             for a_full, a_sub in zip(full_state, state))
-    return state[:4]
+    return state[:4] + (exhausted,)
 
 
 def _prep(orig, dir, t_max, blk):
@@ -516,21 +529,35 @@ def _prep(orig, dir, t_max, blk):
     return orig, dir, t_vec, b
 
 
+def _fit_tile(tt: int, tp: int) -> int:
+    """Largest divisor of the padded chunk width tp that is <= tt. The
+    kernel's tile loop runs nt = tp // tt tiles; a non-divisor tt would
+    silently skip the tail tile's triangles (ADVICE r4)."""
+    import math
+    tt = min(tt, tp)
+    if tp % tt:
+        tt = math.gcd(tt, tp)
+    assert tt > 0 and tp % tt == 0
+    return tt
+
+
 def traverse_closest(bf: BruteForest, orig, dir, t_max,
                      blk: int = BLK, plan=PLAN, mm: int = MM,
-                     tt: int = 512) -> Traversal:
+                     tt: int = 512, with_flag: bool = False):
     o, d, tv, b = _prep(orig, dir, t_max, blk)
-    tt = min(tt, bf.tris.shape[2])
-    bt, bp, bu, bv = _run_workqueue(bf, o, d, tv, False, blk, tuple(plan),
-                                    mm, tt)
-    return Traversal(bt[:b], bp[:b], bu[:b], bv[:b])
+    tt = _fit_tile(tt, bf.tris.shape[2])
+    bt, bp, bu, bv, exhausted = _run_workqueue(
+        bf, o, d, tv, False, blk, tuple(plan), mm, tt)
+    res = Traversal(bt[:b], bp[:b], bu[:b], bv[:b])
+    return (res, exhausted) if with_flag else res
 
 
 def traverse_any(bf: BruteForest, orig, dir, t_max,
                  blk: int = BLK, plan=PLAN, mm: int = MM,
-                 tt: int = 512) -> jnp.ndarray:
+                 tt: int = 512, with_flag: bool = False):
     o, d, tv, b = _prep(orig, dir, t_max, blk)
-    tt = min(tt, bf.tris.shape[2])
-    _, bp, _, _ = _run_workqueue(bf, o, d, tv, True, blk, tuple(plan),
-                                 mm, tt)
-    return bp[:b] > 0
+    tt = _fit_tile(tt, bf.tris.shape[2])
+    _, bp, _, _, exhausted = _run_workqueue(
+        bf, o, d, tv, True, blk, tuple(plan), mm, tt)
+    blocked = bp[:b] > 0
+    return (blocked, exhausted) if with_flag else blocked

@@ -363,8 +363,16 @@ def _brute_auto_target(n_tris: int) -> int:
 
 def fast_big_eligible(host) -> bool:
     """True when `host` will upload via the fast big-scene path (brute
-    forest only; no hierarchy build needed) — see to_device."""
+    forest only; no hierarchy build needed) — see to_device.
+
+    Gated on the accelerator platform: the brute path's only renderable
+    backend is a Pallas TPU kernel, so on CPU (where a >~124k-tri scene
+    would otherwise upload brute-only with bvh/wbvh None and every render
+    raise) the full hierarchy build is kept. FLUCTUS_FAST_BIG=0 remains
+    the explicit override on any platform."""
+    import jax
     return (len(host.v0) * 68 > (8 << 20)  # ~ the wide-table threshold
+            and jax.default_backend() not in ("cpu",)
             and os.environ.get("FLUCTUS_FOREST", "brute") == "brute"
             and os.environ.get("FLUCTUS_PACKET_FOREST", "0") != "1"
             and os.environ.get("FLUCTUS_FAST_BIG", "1") != "0")

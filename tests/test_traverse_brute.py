@@ -177,16 +177,60 @@ def test_brute_dense_chunk_cap(rng, interp):
     np.testing.assert_array_equal(np.asarray(blocked), ref)
 
 
+def test_brute_nondivisor_tile(rng, interp):
+    """tt that does not divide the padded chunk width must not skip the
+    tail tile's triangles (ADVICE r4: tt=min(tt,tp) with nt=tp//tt
+    silently dropped the remainder). _fit_tile rounds tt down to a
+    divisor; hits must match the oracle exactly."""
+    v0, v1, v2 = random_tris(rng, m=500)
+    orig, dir = random_rays(rng, b=256)
+    # tile=128 with target 320 -> widest chunk pads to a non-512 multiple
+    bf = make_brute(v0, v1, v2, target_tris=320, tile=128)
+    tp = int(bf.tris.shape[2])
+    assert tp % 512 != 0 or tp < 512  # the hazard configuration
+    res = tb.traverse_closest(bf, jnp.asarray(orig), jnp.asarray(dir),
+                              np.float32(1e30), tt=512)
+    t_ref, prim_ref, _, _ = cpu_ref.intersect_closest(v0, v1, v2, orig, dir)
+    np.testing.assert_array_equal(np.asarray(res.prim) >= 0, prim_ref >= 0)
+    hit = prim_ref >= 0
+    np.testing.assert_allclose(np.asarray(res.prim)[hit], prim_ref[hit])
+
+
+def test_brute_round_cap_exhaustion_flag(rng, interp, monkeypatch):
+    """The drain loop's round-cap safety net truncates the work-queue
+    walk silently (ADVICE r4); with_flag=True surfaces it. A forced cap
+    of 0 rounds must raise the flag; the default cap must not."""
+    v0, v1, v2 = random_tris(rng, m=600)
+    orig, dir = random_rays(rng, b=256)
+    bf = make_brute(v0, v1, v2, target_tris=64)
+    _, ok_flag = tb.traverse_closest(bf, jnp.asarray(orig),
+                                     jnp.asarray(dir), np.float32(1e30),
+                                     with_flag=True)
+    assert not bool(ok_flag)
+    monkeypatch.setenv("FLUCTUS_BRUTE_ROUND_CAP", "0")
+    _, bad_flag = tb.traverse_closest(bf, jnp.asarray(orig),
+                                      jnp.asarray(dir), np.float32(1e30),
+                                      with_flag=True)
+    assert bool(bad_flag)
+
+
 def test_fast_big_eligibility_and_guard(monkeypatch):
     """fast_big_eligible gates on size + env; the backend guard raises a
     clear error when a hierarchy-needing backend meets a fast-big scene."""
     import types
+    import jax
     from fluctus_tpu.scene.scene import fast_big_eligible
     from fluctus_tpu.integrators.common import _check_backend_data
     from fluctus_tpu.core.types import RenderConfig
 
     small = types.SimpleNamespace(v0=np.zeros((1000, 3)))
     big = types.SimpleNamespace(v0=np.zeros((200_000, 3)))
+    # the suite runs on CPU, where the brute path's only renderable
+    # backend (a Pallas TPU kernel) cannot run: eligibility must be off
+    assert jax.default_backend() == "cpu"
+    assert not fast_big_eligible(big)
+    # on an accelerator the size/env gates apply
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     assert not fast_big_eligible(small)
     assert fast_big_eligible(big)
     monkeypatch.setenv("FLUCTUS_FAST_BIG", "0")
