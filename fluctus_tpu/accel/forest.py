@@ -108,6 +108,12 @@ class HostBrute:
     boxes: np.ndarray    # (C, 8) f32 chunk AABB lo(3) hi(3) pad(2)
     boxes_t: np.ndarray  # (8, Cp) f32 component-major [lox loy loz hix hiy
     #                       hiz 0 0], pad chunks pushed to 3e37 (never hit)
+    tboxes: np.ndarray | None = None  # (C, 8, NTp) f32 per-TILE AABBs
+    tile: int = 512       # triangles per tbox entry (kernel tile unit)
+    #   (rows like boxes_t); tiles are the kernel's Möller loop unit —
+    #   tris within a chunk are spatially re-ordered so each tile of
+    #   `tile` consecutive triangles is tight, letting the kernel skip
+    #   tiles no lane can hit (r5 vlist scheduler). Pad tiles inverted.
 
 
 BRUTE_TARGET_TRIS = 8192
@@ -119,15 +125,27 @@ def build_brute_forest(v0, v1, v2,
     """Partition triangles into spatial chunks (median split — no SAH/SBVH
     build needed, unlike the treelet forest) and pack per-chunk Möller
     tables. Every triangle lands in exactly one chunk (no duplication), so
-    cross-chunk min-merges never tie on one prim."""
+    cross-chunk min-merges never tie on one prim. Within a chunk,
+    triangles are re-ordered by a second median-split recursion down to
+    `tile` so each tile of consecutive triangles is spatially tight; the
+    per-tile AABBs (tboxes) let the kernel prune whole tiles."""
     n = len(v0)
     assert n < (1 << 24) - 1, "brute forest: tri ids exceed f32-exact range"
     chunk_ids = _split_chunks(v0, v1, v2, target_tris)
     c = len(chunk_ids)
     tp = max(-(-max(len(ids) for ids in chunk_ids) // tile) * tile, tile)
+    nt = tp // tile
+    ntp = -(-nt // 128) * 128
     tris = np.zeros((c, 16, tp), np.float32)
     boxes = np.zeros((c, 8), np.float32)
+    tboxes = np.zeros((c, 8, ntp), np.float32)
+    tboxes[:, 0:3, :] = 3.0e37     # pad tiles: inverted, never hit
+    tboxes[:, 3:6, :] = -3.0e37
     for i, ids in enumerate(chunk_ids):
+        if len(ids) > tile:
+            # spatial tile ordering: concatenate the median-split leaves
+            sub = _split_chunks(v0[ids], v1[ids], v2[ids], tile)
+            ids = ids[np.concatenate(sub)]
         k = len(ids)
         a = v0[ids]
         tris[i, 0:3, :k] = a.T
@@ -138,6 +156,11 @@ def build_brute_forest(v0, v1, v2,
         t = np.concatenate([v0[ids], v1[ids], v2[ids]])
         boxes[i, 0:3] = t.min(0)
         boxes[i, 3:6] = t.max(0)
+        for j in range(-(-k // tile)):
+            jj = ids[j * tile:(j + 1) * tile]
+            tj = np.concatenate([v0[jj], v1[jj], v2[jj]])
+            tboxes[i, 0:3, j] = tj.min(0)
+            tboxes[i, 3:6, j] = tj.max(0)
     cp = -(-c // 128) * 128
     # pad chunks get an INVERTED far box (lo > hi => tmn > tmax, never
     # hit; a degenerate far point would still "hit" at tmn == tmax)
@@ -146,7 +169,8 @@ def build_brute_forest(v0, v1, v2,
     boxes_t[3:6] = -3.0e37
     boxes_t[0:3, :c] = boxes[:, 0:3].T
     boxes_t[3:6, :c] = boxes[:, 3:6].T
-    return HostBrute(tris=tris, boxes=boxes, boxes_t=boxes_t)
+    return HostBrute(tris=tris, boxes=boxes, boxes_t=boxes_t,
+                     tboxes=tboxes, tile=tile)
 
 
 def build_host_forest(v0, v1, v2, build_binary,

@@ -44,6 +44,15 @@ def build_parser():
                         "(reference: OptiX denoiser blend slider)")
     r.add_argument("--hdr", action="store_true",
                    help="write linear .hdr instead of tonemapped png")
+    r.add_argument("--progressive", type=int, default=0, metavar="ITERS",
+                   help="progressive refinement: ITERS increments of "
+                        "--spp samples each into one accumulator "
+                        "(reference: Tracer::update refinement loop, "
+                        "src/tracer.cpp:189-358)")
+    r.add_argument("--export-every", type=int, default=0, metavar="N",
+                   help="with --progressive: auto-export the current "
+                        "estimate every N iterations (reference exports "
+                        "every 1000, src/tracer.cpp:356-357)")
 
     b = sub.add_parser("benchmark")
     common(b)
@@ -97,6 +106,15 @@ def cmd_render(args):
     from fluctus_tpu.render import driver
 
     sess = make_session(args)
+    if args.progressive:
+        driver.render_progressive(
+            sess, iterations=args.progressive, spp_increment=args.spp,
+            export_every=args.export_every, export_path=args.output,
+            hdr=args.hdr,
+            callback=lambda it, p: print(
+                f"iteration {it}/{args.progressive}: {p.spp_done} spp"))
+        print(f"wrote {args.output}")
+        return
     if args.denoise > 0.0:
         import jax.numpy as jnp
 

@@ -157,6 +157,12 @@ class BruteForest:
     tris: jnp.ndarray     # (C, 16, Tp) f32 per-chunk Möller tables
     boxes: jnp.ndarray    # (C, 8) f32 chunk AABBs
     boxes_t: jnp.ndarray  # (8, Cp) f32 component-major chunk AABBs
+    # per-tile AABBs (C, 8, NTp) for the r5 visit-list kernel's in-VMEM
+    # tile pruning; None falls back to the round-loop scheduler
+    tboxes: jnp.ndarray | None = None
+    # builder tile size (triangles per tbox entry) — the vlist kernel's
+    # Möller tile must match it exactly
+    tile: int = struct.field(pytree_node=False, default=512)
 
 
 @struct.dataclass

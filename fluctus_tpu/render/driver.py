@@ -231,6 +231,106 @@ def render(session: RenderSession, spp: int,
     return np.asarray(img)
 
 
+@dataclass
+class ProgressiveRender:
+    """Progressive accumulation (reference: Tracer::update's refinement
+    loop, src/tracer.cpp:189-358 — one accumulator refined across
+    iterations, reset when camera/params change :203-218, periodic
+    auto-export :356-357; headless form).
+
+    add() appends sample increments to the SAME accumulator with the
+    sample-index RNG keying continuing where the last increment stopped,
+    so K increments of N spp are bit-for-bit identical to one
+    render(K*N) (verified by test_progressive_matches_oneshot): the
+    per-tile accumulation is a left fold over `samples_per_launch`-sized
+    group sums, and increments that are multiples of that group size
+    resume the same fold."""
+    session: RenderSession
+    samples_per_launch: int = 16
+    acc: jnp.ndarray | None = None     # (n_pix, 3) radiance sum
+    spp_done: int = 0
+    _digest: bytes | None = None
+
+    def reset(self) -> None:
+        cfg = self.session.cfg
+        self.acc = jnp.zeros((cfg.width * cfg.height, 3), jnp.float32)
+        self.spp_done = 0
+
+    def add(self, spp_increment: int) -> int:
+        """Accumulate `spp_increment` more samples/pixel; resets first if
+        params changed since the last add (reference: iteration=0 on
+        paramsUpdatePending, src/tracer.cpp:203-218). Returns total spp."""
+        sess = self.session
+        d = _params_digest(sess.params)
+        if self.acc is None or d != self._digest:
+            self.reset()
+            self._digest = d
+        spl = self.samples_per_launch
+        if spp_increment % spl:
+            # keep group boundaries aligned with the one-shot fold
+            spl = max(1, min(spl, spp_increment))
+            while spp_increment % spl:
+                spl -= 1
+        cfg = sess.cfg
+        n_pix = cfg.width * cfg.height
+        tile = min(cfg.tile_size, n_pix)
+        acc = self.acc
+        for start in range(0, n_pix, tile):
+            idx = jnp.arange(start, min(start + tile, n_pix),
+                             dtype=jnp.uint32)
+            t = acc[start:start + idx.shape[0]]
+            s = self.spp_done
+            stop = self.spp_done + spp_increment
+            while s < stop:
+                k = min(spl, stop - s)
+                t = t + lockstep._render_tile_spp(sess.scene, sess.params,
+                                                  cfg, idx, jnp.uint32(s), k)
+                s += k
+            acc = acc.at[start:start + idx.shape[0]].set(t)
+        self.acc = acc
+        self.spp_done += spp_increment
+        return self.spp_done
+
+    def image(self) -> np.ndarray:
+        """Current linear-radiance estimate (H, W, 3)."""
+        cfg = self.session.cfg
+        if self.acc is None or self.spp_done == 0:
+            return np.zeros((cfg.height, cfg.width, 3), np.float32)
+        img = self.acc / self.spp_done
+        return np.asarray(img.reshape(cfg.height, cfg.width, 3))
+
+
+def render_progressive(session: RenderSession, iterations: int,
+                       spp_increment: int = 4, export_every: int = 0,
+                       export_path: str | None = None, hdr: bool = False,
+                       callback=None) -> np.ndarray:
+    """Drive a ProgressiveRender for `iterations` increments, auto-
+    exporting the current estimate every `export_every` iterations
+    (reference: saveImage every 1000 iterations, src/tracer.cpp:356-357).
+    Returns the final linear image."""
+    prog = ProgressiveRender(session)
+    for it in range(1, iterations + 1):
+        prog.add(spp_increment)
+        if callback is not None:
+            callback(it, prog)
+        if export_every and export_path and it % export_every == 0:
+            _export_progressive(session, prog, export_path, hdr)
+    if export_path and (not export_every or iterations % export_every):
+        _export_progressive(session, prog, export_path, hdr)
+    return prog.image()
+
+
+def _export_progressive(session, prog, path, hdr):
+    from fluctus_tpu.io.image import save_image
+    img = prog.image()
+    if not hdr:
+        w = np.ones(img.shape[:2], np.float32)
+        img = np.asarray(tm.postprocess(jnp.asarray(img), jnp.asarray(w),
+                                        session.params.exposure,
+                                        session.cfg.tonemap_op))
+    save_image(path, img)
+
+
 def render_preview(session: RenderSession, spp: int = 1) -> np.ndarray:
     """Fast preview render: bounce count clamped to 2 like the reference's
     camera-moved first frame (src/tracer.cpp:228-241 maxBounces=min(2,·))."""

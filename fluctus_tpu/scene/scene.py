@@ -283,7 +283,9 @@ class HostScene:
                 bforest = BruteForest(
                     tris=jnp.asarray(hostb.tris),
                     boxes=jnp.asarray(hostb.boxes),
-                    boxes_t=jnp.asarray(hostb.boxes_t))
+                    boxes_t=jnp.asarray(hostb.boxes_t),
+                    tboxes=jnp.asarray(hostb.tboxes),
+                    tile=hostb.tile)
         mats, atlas, envd = self._shading_device()
         return DeviceScene(geom=geom, bvh=bvh, pbvh=pbvh, wbvh=wbvh,
                            wforest=wforest, wforest_maps=wforest_maps,
@@ -341,7 +343,9 @@ class HostScene:
         bforest = BruteForest(
             tris=jnp.asarray(hostb.tris),
             boxes=jnp.asarray(hostb.boxes),
-            boxes_t=jnp.asarray(hostb.boxes_t))
+            boxes_t=jnp.asarray(hostb.boxes_t),
+            tboxes=jnp.asarray(hostb.tboxes),
+            tile=hostb.tile)
         mats, atlas, envd = self._shading_device()
         return DeviceScene(geom=geom, bvh=None, pbvh=None, wbvh=None,
                            bforest=bforest,

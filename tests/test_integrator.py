@@ -117,6 +117,46 @@ def test_render_deterministic():
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def _plane_render_session(**kw):
+    """plane_session wrapped as a driver.RenderSession (for driver APIs)."""
+    v0, v1, v2 = big_quad(y=0.0, half=500.0)
+    env = np.full((32, 64, 3), 1.0, np.float32)
+    host = make_host_scene(v0, v1, v2,
+                           materials=[diffuse_material((RHO, RHO, RHO))],
+                           env_image=env)
+    host.build_bvh(cache_dir=None, use_sbvh=False)
+    scene, params, cfg = plane_session(**kw)
+    return driver.RenderSession(host_scene=host, scene=scene,
+                                params=params, cfg=cfg)
+
+
+def test_progressive_matches_oneshot(tmp_path):
+    """K increments into the progressive accumulator == one one-shot
+    K·spp render, bit-for-bit (reference semantics: the refinement loop
+    adds samples to one accumulator, src/tracer.cpp:189-358)."""
+    sess = _plane_render_session()
+    prog = driver.ProgressiveRender(sess, samples_per_launch=4)
+    prog.add(4)
+    prog.add(4)
+    assert prog.spp_done == 8
+    one = lockstep.render(sess.scene, sess.params, sess.cfg, 8,
+                          samples_per_launch=4)
+    np.testing.assert_array_equal(prog.image(), np.asarray(one))
+
+    # param change resets the accumulator (reference: iteration=0 on
+    # paramsUpdatePending, src/tracer.cpp:203-218)
+    sess.params = sess.params.replace(env_strength=jnp.float32(2.0))
+    prog.add(4)
+    assert prog.spp_done == 4
+
+    # driver loop + periodic auto-export (src/tracer.cpp:356-357)
+    out = tmp_path / "prog.png"
+    img = driver.render_progressive(sess, iterations=2, spp_increment=4,
+                                    export_every=1, export_path=str(out))
+    assert out.exists()
+    assert img.shape == (sess.cfg.height, sess.cfg.width, 3)
+
+
 def test_teapot_smoke():
     """BASELINE config 1 shape: teapot.ply + env map, Lambert-only."""
     cfg = RenderConfig(width=32, height=32, max_bounces=2,

@@ -24,15 +24,30 @@ def interp(monkeypatch):
         lambda *a, **k: orig_call(*a, **{**k, "interpret": True}))
 
 
+@pytest.fixture(params=["vlist", "rounds"])
+def sched(request, monkeypatch):
+    """Run oracle tests under BOTH brute schedulers: the r5 visit-list
+    (default) and the r4 round-loop walk."""
+    monkeypatch.setenv("FLUCTUS_BRUTE_SCHED", request.param)
+    return request.param
+
+
+@pytest.fixture
+def rounds_only(monkeypatch):
+    monkeypatch.setenv("FLUCTUS_BRUTE_SCHED", "rounds")
+
+
 def make_brute(v0, v1, v2, target_tris=128, tile=128):
     host = build_brute_forest(v0, v1, v2, target_tris=target_tris,
                               tile=tile)
     return BruteForest(tris=jnp.asarray(host.tris),
                        boxes=jnp.asarray(host.boxes),
-                       boxes_t=jnp.asarray(host.boxes_t))
+                       boxes_t=jnp.asarray(host.boxes_t),
+                       tboxes=jnp.asarray(host.tboxes),
+                       tile=host.tile)
 
 
-def test_brute_closest_matches_oracle(rng, interp):
+def test_brute_closest_matches_oracle(rng, interp, sched):
     v0, v1, v2 = random_tris(rng, m=900)
     orig, dir = random_rays(rng, b=640)
     bf = make_brute(v0, v1, v2)
@@ -47,7 +62,7 @@ def test_brute_closest_matches_oracle(rng, interp):
     np.testing.assert_allclose(np.asarray(res.prim)[hit], prim_ref[hit])
 
 
-def test_brute_any_matches_oracle(rng, interp):
+def test_brute_any_matches_oracle(rng, interp, sched):
     v0, v1, v2 = random_tris(rng, m=700)
     orig, dir = random_rays(rng, b=384)
     bf = make_brute(v0, v1, v2)
@@ -58,7 +73,7 @@ def test_brute_any_matches_oracle(rng, interp):
     np.testing.assert_array_equal(np.asarray(blocked), ref)
 
 
-def test_brute_plans_agree(rng, interp):
+def test_brute_plans_agree(rng, interp, rounds_only):
     """Different round plans (single-visit rounds vs the M-ramp) must
     produce identical hits — the multi-visit merge loses only in-round
     best-t pruning, never correctness."""
@@ -77,7 +92,7 @@ def test_brute_plans_agree(rng, interp):
     np.testing.assert_array_equal(np.asarray(r1.t), np.asarray(r3.t))
 
 
-def test_brute_tmax_above_big_sentinel(rng, interp):
+def test_brute_tmax_above_big_sentinel(rng, interp, sched):
     """f32-max t_max (what trace_scene passes) must not fabricate hits."""
     v0, v1, v2 = random_tris(rng, m=300)
     orig, dir = random_rays(rng, b=256)
@@ -89,7 +104,7 @@ def test_brute_tmax_above_big_sentinel(rng, interp):
     np.testing.assert_array_equal(np.asarray(res.prim) >= 0, prim_ref >= 0)
 
 
-def test_brute_single_chunk(rng, interp):
+def test_brute_single_chunk(rng, interp, sched):
     """Degenerate C=1 forest still answers (cp pads 1 -> 128)."""
     v0, v1, v2 = random_tris(rng, m=60)
     orig, dir = random_rays(rng, b=128)
@@ -103,7 +118,7 @@ def test_brute_single_chunk(rng, interp):
     np.testing.assert_allclose(np.asarray(res.prim)[hit], prim_ref[hit])
 
 
-def test_trace_scene_dispatch_brute(rng, interp):
+def test_trace_scene_dispatch_brute(rng, interp, sched):
     """End-to-end: a DeviceScene carrying bforest routes backend='mxu'
     closest/any-hit (incl. the fused ext+shadow branch) through the
     brute-chunk kernel and agrees with the wide backend."""
@@ -136,7 +151,7 @@ def test_trace_scene_dispatch_brute(rng, interp):
     np.testing.assert_array_equal(np.asarray(blk_b), np.asarray(blk_w))
 
 
-def test_brute_width_phases(rng, interp, monkeypatch):
+def test_brute_width_phases(rng, interp, rounds_only, monkeypatch):
     """Force the width-shrinking drain phases (compaction + rank-gather
     merge) at test scale — they only engage above MIN_PHASE_W rays."""
     monkeypatch.setattr(tb, "MIN_PHASE_W", 64)
@@ -156,7 +171,7 @@ def test_brute_width_phases(rng, interp, monkeypatch):
     np.testing.assert_array_equal(np.asarray(blocked), ref)
 
 
-def test_brute_dense_chunk_cap(rng, interp):
+def test_brute_dense_chunk_cap(rng, interp, rounds_only):
     """More active chunks than the per-round dense window (nz): capped
     rounds must still converge to the oracle — unscheduled rays carry an
     unmoved cursor and reschedule (r4c fix for the C*blk pad blowup)."""
@@ -177,7 +192,7 @@ def test_brute_dense_chunk_cap(rng, interp):
     np.testing.assert_array_equal(np.asarray(blocked), ref)
 
 
-def test_brute_nondivisor_tile(rng, interp):
+def test_brute_nondivisor_tile(rng, interp, sched):
     """tt that does not divide the padded chunk width must not skip the
     tail tile's triangles (ADVICE r4: tt=min(tt,tp) with nt=tp//tt
     silently dropped the remainder). _fit_tile rounds tt down to a
@@ -196,7 +211,7 @@ def test_brute_nondivisor_tile(rng, interp):
     np.testing.assert_allclose(np.asarray(res.prim)[hit], prim_ref[hit])
 
 
-def test_brute_round_cap_exhaustion_flag(rng, interp, monkeypatch):
+def test_brute_round_cap_exhaustion_flag(rng, interp, rounds_only, monkeypatch):
     """The drain loop's round-cap safety net truncates the work-queue
     walk silently (ADVICE r4); with_flag=True surfaces it. A forced cap
     of 0 rounds must raise the flag; the default cap must not."""
