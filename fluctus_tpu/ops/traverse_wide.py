@@ -90,11 +90,17 @@ def _traverse(bvh: WideBVH, orig, dir, t_max, any_hit: bool):
     b = orig.shape[0]
     lvl = bvh.depth + 1
     inv = _inv_dir(dir)
-    best_t = jnp.asarray(t_max, jnp.float32) * jnp.ones((b,), jnp.float32)
-    best_prim = jnp.full((b,), -1, jnp.int32)
-    best_u = jnp.zeros((b,), jnp.float32)
-    best_v = jnp.zeros((b,), jnp.float32)
-    blocked = jnp.zeros((b,), bool)
+    # derive every while-carry init from the (possibly device-varying)
+    # ray arrays: under shard_map with vma checking, constant-initialized
+    # carries type as unvarying while the body outputs vary over the ray
+    # axis, which rejects the while_loop (seen in render_stream_sharded)
+    zero_f = orig[:, 0] * 0.0
+    zero_i = zero_f.astype(jnp.int32)
+    best_t = jnp.asarray(t_max, jnp.float32) + zero_f
+    best_prim = zero_i - 1
+    best_u = zero_f
+    best_v = zero_f
+    blocked = zero_i.astype(bool)
 
     if bvh.root_ref < 0:
         # whole scene is one fat leaf
@@ -114,10 +120,10 @@ def _traverse(bvh: WideBVH, orig, dir, t_max, any_hit: bool):
                          jnp.where(got, pick(u), best_u),
                          jnp.where(got, pick(v), best_v)), blocked
 
-    cur = jnp.full((b,), bvh.root_ref, jnp.int32)
-    level = jnp.zeros((b,), jnp.int32)
-    trail = jnp.zeros((b, lvl), jnp.int32)
-    chain = jnp.zeros((b, lvl), jnp.int32)
+    cur = zero_i + bvh.root_ref
+    level = zero_i
+    trail = jnp.zeros((b, lvl), jnp.int32) + zero_i[:, None]
+    chain = jnp.zeros((b, lvl), jnp.int32) + zero_i[:, None]
     lvl_range = jnp.arange(lvl, dtype=jnp.int32)
 
     def cond(s):

@@ -303,6 +303,152 @@ def make_kitchen(out_dir):
     print(f"kitchen_proxy.obj: {n_tris} tris, {len(mats)} materials")
 
 
+def _tube(p0, p1, r, seg=16):
+    """Closed cylinder between p0 and p1 (2*seg side tris + 2*seg caps)."""
+    p0 = np.asarray(p0, np.float64)
+    p1 = np.asarray(p1, np.float64)
+    ax = p1 - p0
+    ln = np.linalg.norm(ax)
+    ax = ax / ln
+    helper = np.array([0.0, 0.0, 1.0]) if abs(ax[2]) < 0.9 \
+        else np.array([1.0, 0.0, 0.0])
+    u = np.cross(ax, helper)
+    u /= np.linalg.norm(u)
+    v = np.cross(ax, u)
+    ang = np.linspace(0, 2 * np.pi, seg, endpoint=False)
+    ring = (np.cos(ang)[:, None] * u + np.sin(ang)[:, None] * v) * r
+    verts = np.concatenate([p0 + ring, p1 + ring, [p0], [p1]])
+    normals = np.concatenate([ring / r, ring / r, [-ax], [ax]])
+    faces = []
+    for i in range(seg):
+        j = (i + 1) % seg
+        faces += [(i, j, seg + i), (j, seg + j, seg + i)]
+        faces += [(2 * seg, j, i), (2 * seg + 1, seg + i, seg + j)]
+    return verts, np.asarray(faces, np.int64), normals
+
+
+def make_conference(out_dir, chairs_x=7, chairs_z=6, cushion_sub=4):
+    """Conference-class protocol stand-in (the reference snapshot ships
+    only conference.mtl; its benchmark renders conference.obj,
+    src/tracer.cpp:384-389): a LARGE FLAT INDOOR room with many
+    materials — long table, chair rows with dense cushions, wall/door
+    panels, skirting, ceiling light fixtures — the "large flat interior,
+    many materials" workload class missing from the 5-scene protocol
+    (VERDICT r4 missing 1). ~250k tris at the defaults."""
+    objs = []
+    w, d, h = 10.0, 7.0, 3.0          # room extents (x, z, y-height)
+
+    def quad(a, b, c, dd, nrm, uv_scale=1.0):
+        v = np.asarray([a, b, c, dd], np.float64)
+        f = np.array([(0, 1, 2), (0, 2, 3)])
+        n = np.tile(np.asarray(nrm, np.float64), (4, 1))
+        return v, f, n
+
+    objs.append(("floor", "floor",
+                 *quad((0, 0, 0), (w, 0, 0), (w, 0, d), (0, 0, d),
+                       (0, 1, 0))))
+    objs.append(("ceil", "ceiling",
+                 *quad((0, h, 0), (0, h, d), (w, h, d), (w, h, 0),
+                       (0, -1, 0))))
+    objs.append(("wall_n", "grey_wall",
+                 *quad((0, 0, 0), (0, h, 0), (w, h, 0), (w, 0, 0),
+                       (0, 0, 1))))
+    objs.append(("wall_s", "grey_wall",
+                 *quad((0, 0, d), (w, 0, d), (w, h, d), (0, h, d),
+                       (0, 0, -1))))
+    objs.append(("wall_w", "brown_wall",
+                 *quad((0, 0, 0), (0, 0, d), (0, h, d), (0, h, 0),
+                       (1, 0, 0))))
+    objs.append(("wall_e", "brown_wall",
+                 *quad((w, 0, 0), (w, h, 0), (w, h, d), (w, 0, d),
+                       (-1, 0, 0))))
+    # skirting boards + door + wall screen (the many-flat-materials mix)
+    for i, (lo, hi, m) in enumerate([
+            (((0.0, 0.0, 0.02), (w, 0.12, 0.06)), None, "skirting"),
+            (((0.0, 0.0, d - 0.06), (w, 0.12, d - 0.02)), None, "skirting"),
+            (((0.02, 0.0, 0.0), (0.06, 0.12, d)), None, "skirting"),
+            (((w - 0.06, 0.0, 0.0), (w - 0.02, 0.12, d)), None, "skirting"),
+            (((0.05, 0.0, 2.6), (0.1, 2.2, 3.6)), None, "door"),
+            (((w - 0.1, 0.8, 2.0), (w - 0.05, 2.4, 5.0)), None, "screen"),
+    ]):
+        (lo, hi) = lo
+        objs.append((f"panel{i}", m, *_box(lo, hi)[:3]))
+
+    # conference table: big rounded top on tube legs
+    tv, tf, tn = _box((2.0, 0.72, 2.2), (8.0, 0.80, 4.8))[:3]
+    objs.append(("table_top", "table", tv, tf, tn))
+    for lx in (2.4, 7.6):
+        for lz in (2.6, 4.4):
+            v, f, n = _tube((lx, 0.0, lz), (lx, 0.72, lz), 0.06, seg=24)
+            objs.append((f"tleg{lx}{lz}", "chrome", v, f, n))
+
+    # chair rows around the table: tube frames + subdivided cushions
+    # (cushions carry the triangle density of the reference's chairs)
+    cushion_mats = ["cush_red", "cush_blue", "cush_green"]
+    ci = 0
+    xs = np.linspace(2.5, 7.5, chairs_x)
+    zs = [1.4, 5.6]
+    positions = [(x, z) for z in zs for x in xs]
+    zs2 = np.linspace(2.8, 4.2, chairs_z - 2) if chairs_z > 2 else []
+    positions += [(1.2, z) for z in zs2] + [(8.8, z) for z in zs2]
+    for cx, cz in positions:
+        facing = 1.0 if cz < d / 2 else -1.0
+        mat = cushion_mats[ci % len(cushion_mats)]
+        ci += 1
+        # seat + back cushions: squashed icospheres
+        sv, sf = icosphere(cushion_sub, 1.0, (0, 0, 0))
+        seat = sv * np.array([0.22, 0.06, 0.2]) + np.array([cx, 0.46, cz])
+        sn = sv / np.linalg.norm(sv, axis=1, keepdims=True)
+        objs.append((f"seat{ci}", mat, seat, sf, sn))
+        back = sv * np.array([0.2, 0.24, 0.05]) + np.array(
+            [cx, 0.85, cz - facing * 0.18])
+        objs.append((f"back{ci}", mat, back, sf, sn))
+        # frame: 4 legs + 2 back struts
+        for dx in (-0.16, 0.16):
+            for dz in (-0.14, 0.14):
+                v, f, n = _tube((cx + dx, 0.0, cz + dz),
+                                (cx + dx, 0.44, cz + dz), 0.018, seg=12)
+                objs.append((f"leg{ci}{dx}{dz}", "chrome", v, f, n))
+            v, f, n = _tube(
+                (cx + dx, 0.44, cz - facing * 0.16),
+                (cx + dx, 1.05, cz - facing * 0.2), 0.016, seg=12)
+            objs.append((f"strut{ci}{dx}", "chrome", v, f, n))
+
+    # ceiling light fixtures (emissive-looking steel troughs; actual
+    # illumination comes from the committed area-light state)
+    for i, lx in enumerate(np.linspace(2.0, 8.0, 3)):
+        objs.append((f"lightbox{i}", "fixture",
+                     *_box((lx - 0.6, h - 0.08, 2.8),
+                           (lx + 0.6, h - 0.02, 4.2))[:3]))
+
+    mats = {
+        # taxonomy mirrors conference.mtl's flat-material mix (grey/brown
+        # walls, floor, ceiling, skirting, door; reference materials 0-8)
+        "grey_wall": {"Kd": (0.64, 0.60, 0.61), "shader": "diffuse"},
+        "brown_wall": {"Kd": (0.64, 0.40, 0.13), "shader": "diffuse"},
+        "floor": {"Kd": (0.38, 0.12, 0.12), "Ks": (0.2, 0.1, 0.1),
+                  "Ni": 1.45, "Ns": 302, "shader": "glossy"},
+        "ceiling": {"Kd": (0.9, 0.9, 0.9), "shader": "diffuse"},
+        "skirting": {"Kd": (0.37, 0.17, 0.17), "Ks": (0.4, 0.2, 0.2),
+                     "Ni": 1.45, "Ns": 302, "shader": "glossy"},
+        "door": {"Kd": (0.74, 0.40, 0.16), "Ks": (0.3, 0.3, 0.3),
+                 "Ni": 1.45, "Ns": 602, "shader": "glossy"},
+        "screen": {"Kd": (0.05, 0.05, 0.06), "Ks": (0.4, 0.4, 0.4),
+                   "Ni": 1.8, "Ns": 900, "shader": "glossy"},
+        "table": {"Kd": (0.30, 0.16, 0.08), "Ks": (0.35, 0.3, 0.25),
+                  "Ni": 1.5, "Ns": 250, "shader": "glossy"},
+        "chrome": {"Ks": (0.8, 0.81, 0.83), "Ni": 2.7, "Ns": 1200,
+                   "shader": "rough_reflection"},
+        "fixture": {"Ks": (0.9, 0.9, 0.9), "shader": "ideal_reflection"},
+        "cush_red": {"Kd": (0.45, 0.10, 0.10), "shader": "diffuse"},
+        "cush_blue": {"Kd": (0.12, 0.18, 0.42), "shader": "diffuse"},
+        "cush_green": {"Kd": (0.12, 0.35, 0.15), "shader": "diffuse"},
+    }
+    write_obj(os.path.join(out_dir, "conference_proxy.obj"), objs, mats)
+    n_tris = sum(len(o[3]) for o in objs)
+    print(f"conference_proxy.obj: {n_tris} tris, {len(mats)} materials")
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("-o", "--out-dir", default="assets")
@@ -311,5 +457,6 @@ if __name__ == "__main__":
     make_luxball(args.out_dir)
     make_cornell(args.out_dir)
     make_kitchen(args.out_dir)
-    print(f"wrote luxball_proxy + cornell_proxy + kitchen_proxy to "
-          f"{args.out_dir}")
+    make_conference(args.out_dir)
+    print(f"wrote luxball_proxy + cornell_proxy + kitchen_proxy + "
+          f"conference_proxy to {args.out_dir}")

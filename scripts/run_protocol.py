@@ -35,6 +35,11 @@ SCENES = [
     # committed data/states entry) — the reference protocol's third scene
     # ships without its .obj (src/tracer.cpp:384-389)
     ("kitchen", f"{REPO}/assets/kitchen_proxy.obj", None, True, 8),
+    # conference-class stand-in (large flat indoor, many materials —
+    # completes the reference benchmark triple egyptcat + conference +
+    # country_kitchen, src/tracer.cpp:384-389; the snapshot ships only
+    # conference.mtl). Camera + ceiling light from data/states.
+    ("conference", f"{REPO}/assets/conference_proxy.obj", None, True, 6),
 ]
 
 
