@@ -85,6 +85,12 @@ def build_parser():
                    help="gradient path: stream = streaming-wavefront "
                         "fwd+bwd (~2.6x faster, same estimator); "
                         "auto = stream off-CPU")
+
+    c = sub.add_parser("convert",
+                       help=".pbrt text -> .pbf binary container "
+                            "(reference: Scene::convertPBRTModel)")
+    c.add_argument("src", help="input .pbrt file")
+    c.add_argument("dst", help="output .pbf file")
     return p
 
 
@@ -163,10 +169,17 @@ def cmd_optimize(args):
                      method=args.method)
 
 
+def cmd_convert(args):
+    from fluctus_tpu.scene.loaders.pbf import convert_pbrt_to_pbf
+
+    convert_pbrt_to_pbf(args.src, args.dst)
+    print(f"wrote {args.dst}")
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
     {"render": cmd_render, "benchmark": cmd_benchmark,
-     "optimize": cmd_optimize}[args.command](args)
+     "optimize": cmd_optimize, "convert": cmd_convert}[args.command](args)
 
 
 if __name__ == "__main__":

@@ -427,10 +427,17 @@ def load_scene(path: str, env_map: str | None = None) -> HostScene:
                 map_n[i] = pool.try_import(os.path.join(folder, m.map_bump),
                                            m.map_bump)
         map_arrays = (map_kd, map_ks, map_n)
-    elif ext == ".pbrt":
-        from fluctus_tpu.scene.loaders.pbrt import load_pbrt
-        (v0, v1, v2, n0, n1, n2, uv0, uv1, uv2, mat_id,
-         pbrt_mats, area_light_hint) = load_pbrt(path)
+    elif ext in (".pbrt", ".pbf"):
+        if ext == ".pbf":
+            # binary container opened directly (reference:
+            # src/scene.cpp:573-620 Scene::loadPBFModel)
+            from fluctus_tpu.scene.loaders.pbf import load_pbf
+            (v0, v1, v2, n0, n1, n2, uv0, uv1, uv2, mat_id,
+             pbrt_mats, area_light_hint) = load_pbf(path)
+        else:
+            from fluctus_tpu.scene.loaders.pbrt import load_pbrt
+            (v0, v1, v2, n0, n1, n2, uv0, uv1, uv2, mat_id,
+             pbrt_mats, area_light_hint) = load_pbrt(path)
         mats = [default_material()] + pbrt_mats
         folder = os.path.dirname(path)
         map_kd = np.full(len(mats), -1, np.int32)
