@@ -59,6 +59,9 @@ def build_parser():
     b.add_argument("--duration", type=float, default=30.0,
                    help="seconds per scene (reference: 30 s)")
     b.add_argument("--csv", default=None, help="CSV output path")
+    b.add_argument("--txt", default=None,
+                   help="averaged one-line txt report path (reference "
+                        "simpleReport format, src/tracer.cpp:503)")
     b.add_argument("--integrator", default="lockstep",
                    choices=["auto", "lockstep", "stream"],
                    help="lockstep: analytic ray accounting (every lane "
@@ -156,6 +159,9 @@ def cmd_benchmark(args):
     result = fn(sess, duration_s=args.duration,
                 scene_name=args.scene, csv_path=args.csv)
     result["integrator"] = integrator
+    if args.txt:
+        from fluctus_tpu.render.benchmark import write_txt_report
+        write_txt_report(args.txt, [result])
     print(json.dumps(result))
 
 

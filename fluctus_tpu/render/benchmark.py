@@ -104,6 +104,26 @@ def _write_csv(csv_path, rows):
                     f"{r[4]:.2f};{r[5]:.2f};{r[6]:.2f}\n")
 
 
+def summary_line(result: dict) -> str:
+    """The reference's averaged one-line-per-scene report format
+    (src/tracer.cpp:503: '%s: %.1fM primary, %.2fM extension, %.2fM
+    shadow, %.2fM samples, total: %.2fM rays/s')."""
+    return (f"{result['scene']}: "
+            f"{result['primary_mrays_s']:.1f}M primary, "
+            f"{result['extension_mrays_s']:.2f}M extension, "
+            f"{result['shadow_mrays_s']:.2f}M shadow, "
+            f"{result['samples_mrays_s']:.2f}M samples, "
+            f"total: {result['total_mrays_s']:.2f}M rays/s")
+
+
+def write_txt_report(txt_path: str, results: list[dict]):
+    """Averaged txt report, one summary line per benchmark run
+    (reference: simpleReport, src/tracer.cpp:500-527)."""
+    with open(txt_path, "w") as f:
+        for r in results:
+            f.write(summary_line(r) + "\n")
+
+
 def run_benchmark_stream(session, duration_s: float = 30.0,
                          scene_name: str = "", csv_path: str | None = None,
                          spp_per_frame: int = 4):

@@ -17,7 +17,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from fluctus_tpu.core.types import RenderConfig
 from fluctus_tpu.render import driver
-from fluctus_tpu.render.benchmark import run_benchmark, run_benchmark_stream
+from fluctus_tpu.render.benchmark import (run_benchmark,
+                                          run_benchmark_stream,
+                                          write_txt_report)
 
 ASSETS = "/root/reference/assets"
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -50,6 +52,7 @@ def main():
     os.makedirs("out", exist_ok=True)
 
     summary = []
+    txt_results = []
     for name, path, env, area, mb in SCENES:
         if not os.path.exists(path):
             print(f"skip {name}: {path} missing")
@@ -70,6 +73,7 @@ def main():
             r = fn(sess, duration_s=args.duration, scene_name=name,
                    csv_path=f"out/protocol_{name}_{integ}.csv")
             rows[integ] = r
+            txt_results.append({**r, "scene": f"{name} [{integ}]"})
             print(f"{name:10s} {integ:8s}: "
                   f"{r['total_mrays_s']:7.2f} MRays/s, "
                   f"{r['samples_mrays_s']*1e6/1e6:6.2f} Msamples/s, "
@@ -96,6 +100,8 @@ def main():
         })
     with open("out/protocol_summary.json", "w") as f:
         json.dump(summary, f, indent=1)
+    # averaged txt report (reference simpleReport, src/tracer.cpp:500-527)
+    write_txt_report("out/protocol_summary.txt", txt_results)
     print(json.dumps(summary))
 
 

@@ -5,7 +5,8 @@ import numpy as np
 
 from fluctus_tpu.core.types import RenderConfig, default_params
 from fluctus_tpu.render.benchmark import (CSV_HEADER, run_benchmark,
-                                          run_benchmark_stream)
+                                          run_benchmark_stream,
+                                          summary_line, write_txt_report)
 from fluctus_tpu.render.driver import RenderSession
 
 from helpers import big_quad, diffuse_material, make_host_scene
@@ -45,6 +46,20 @@ def test_run_benchmark_lockstep(tmp_path):
     # analytic accounting: extension = (bounces+1) x primary exactly
     ratio = result["extension_mrays_s"] / result["primary_mrays_s"]
     assert abs(ratio - 3.0) < 1e-6
+
+
+def test_txt_report(tmp_path):
+    """Averaged txt matches the reference simpleReport line format
+    (src/tracer.cpp:503)."""
+    r = {"scene": "egyptcat", "primary_mrays_s": 1.0,
+         "extension_mrays_s": 4.2, "shadow_mrays_s": 2.1,
+         "samples_mrays_s": 0.5, "total_mrays_s": 7.3}
+    line = summary_line(r)
+    assert line == ("egyptcat: 1.0M primary, 4.20M extension, "
+                    "2.10M shadow, 0.50M samples, total: 7.30M rays/s")
+    txt = tmp_path / "report.txt"
+    write_txt_report(str(txt), [r, r])
+    assert txt.read_text().splitlines() == [line, line]
 
 
 def test_run_benchmark_stream(tmp_path):
