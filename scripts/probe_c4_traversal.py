@@ -3,6 +3,11 @@ population of the protocol frame (camera primaries of the 6.3M-tri grid
 at 1024², and one diffuse bounce off the primary hits), sweeping chunk
 size (the tile-pruned vlist kernel can afford bigger chunks) and V.
 
+All forest tables flow as jit ARGUMENTS: at 6.3M tris the tables are
+~400 MB, and jit-closure constants are shipped inside the remote-compile
+request body, which rejects them with HTTP 413 (this bit; the 703k-tri
+bench at 45 MB slid under the limit).
+
 JAX_COMPILATION_CACHE_DIR=data/xla_cache python scripts/probe_c4_traversal.py
 Trace-check: PROBE_TRACE_ONLY=1 on CPU (small grid).
 """
@@ -12,6 +17,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -29,14 +36,33 @@ N = 1 << 14
 REPS = 4
 
 
-def rep(fn):
-    def g(seed):
-        def body(s, _):
-            out = fn(s)
-            return s + out * 1e-30, None
-        s, _ = jax.lax.scan(body, seed, None, length=REPS)
-        return s
-    return jax.jit(g)
+@functools.partial(jax.jit, static_argnames=("kind", "v_per"))
+def _probe(bf, o, d, s, kind: str, v_per: int):
+    o = o + s * 1e-30
+    if kind == "rounds":
+        def one(s):
+            r = tb.traverse_closest(bf.replace(tboxes=None), o + s * 1e-30,
+                                    d, 3.4e38)
+            return jnp.sum(r.t * (r.t < 1e30))
+    else:
+        def one(s):
+            o8, d8, tv, b = tb._prep(o + s * 1e-30, d, 3.4e38, 128)
+            bt, bp, bu, bv = tb._run_vlist(bf, o8, d8, tv, False, 128,
+                                           v_per, tb._vlist_tile(bf))
+            return jnp.sum(bt * (bt < 1e30))
+
+    def body(c, _):
+        return c + one(c) * 1e-30, None
+    s, _ = jax.lax.scan(body, s, None, length=REPS)
+    return s
+
+
+@jax.jit
+def _first_hits(bf, o, d):
+    o8, d8, tv, b = tb._prep(o, d, 3.4e38, 128)
+    bt, bp, _, _ = tb._run_vlist(bf, o8, d8, tv, False, 128, 8,
+                                 tb._vlist_tile(bf))
+    return bt[:o.shape[0]], bp[:o.shape[0]]
 
 
 def main():
@@ -45,8 +71,6 @@ def main():
     host = build_scene(grid, 3)
     params = driver.auto_frame_camera(
         driver.default_params(world_radius=host.world_radius()), host)
-    cfg = RenderConfig(width=1024, height=1024, max_bounces=4,
-                       use_env_map=False, backend="mxu")
 
     # strided primaries across the full frame (the protocol's first
     # segment population after the stream's pixel striding)
@@ -58,7 +82,7 @@ def main():
                                      half, half, zero, zero,
                                      params.world_radius)
 
-    tts = (8192, 32768, 65536) if not probe else (512,)
+    tts = (32768, 65536) if not probe else (512,)
     forests = {}
     for tt in tts:
         hb = build_brute_forest(host.v0, host.v1, host.v2, target_tris=tt)
@@ -69,56 +93,54 @@ def main():
         print(f"TT={tt}: C={hb.boxes.shape[0]} tp={hb.tris.shape[2]}",
               flush=True)
 
-    # bounce rays: cosine-ish scatter off the primary hit points (use the
+    # bounce rays: diffuse-ish scatter off the primary hit points (use the
     # default-TT forest to find hits once, outside the timed region)
     bf0 = forests[tts[-1]]
     if probe:
         t = jnp.ones((N,), jnp.float32)   # no real execution in trace mode
     else:
-        res = tb.traverse_closest(bf0, o_p, d_p, np.float32(3.4e38))
-        t = jnp.where(res.prim >= 0, res.t, 1.0)
+        bt, bp = _first_hits(bf0, o_p, d_p)
+        t = jnp.where(bp >= 0, bt, 1.0)
+        print(f"primary hit rate: "
+              f"{float(jnp.mean((bp >= 0).astype(jnp.float32))):.3f}",
+              flush=True)
     p_hit = o_p + t[:, None] * d_p
     g = np.random.default_rng(5)
     d_b = jnp.asarray(g.normal(size=(N, 3)), jnp.float32)
     d_b = d_b / jnp.linalg.norm(d_b, axis=1, keepdims=True)
     o_b = p_hit - 1e-3 * d_p
 
-    fns = {}
-    for kind, (o, d) in (("prim", (o_p, d_p)), ("bounce", (o_b, d_b))):
+    cases = []
+    for kind_r, (o, d) in (("prim", (o_p, d_p)), ("bounce", (o_b, d_b))):
         for tt, bf in forests.items():
-            bfr = bf.replace(tboxes=None)
-
-            def f_r(s, bf=bfr, o=o, d=d):
-                r = tb.traverse_closest(bf, o + s * 1e-30, d, 3.4e38)
-                return jnp.sum(r.t * (r.t < 1e30))
-            fns[f"rounds/{kind}/TT{tt}"] = rep(f_r)
+            cases.append((f"rounds/{kind_r}/TT{tt}", bf, o, d, "rounds", 8))
             for v_per in ((8,) if probe else (8, 16)):
-                def f_v(s, bf=bf, o=o, d=d, v_per=v_per):
-                    o8, d8, tv, b = tb._prep(o + s * 1e-30, d, 3.4e38, 128)
-                    bt, bp, bu, bv = tb._run_vlist(
-                        bf, o8, d8, tv, False, 128, v_per,
-                        tb._vlist_tile(bf))
-                    return jnp.sum(bt * (bt < 1e30))
-                fns[f"vlist/{kind}/TT{tt}/V{v_per}"] = rep(f_v)
+                cases.append((f"vlist/{kind_r}/TT{tt}/V{v_per}",
+                              bf, o, d, "vlist", v_per))
 
     if probe:
-        for k, f in fns.items():
-            print(k, jax.eval_shape(f, jnp.float32(0)))
+        for name, bf, o, d, kind, v in cases:
+            print(name, jax.eval_shape(_probe, bf, o, d, jnp.float32(0),
+                                       kind, v))
         return
 
     import concurrent.futures as cf
     t0 = time.perf_counter()
-    with cf.ThreadPoolExecutor(min(len(fns), 10)) as ex:
-        compiled = dict(zip(fns, ex.map(
-            lambda f: f.lower(jnp.float32(0)).compile(), fns.values())))
-    print(f"compiled {len(fns)} in {time.perf_counter() - t0:.1f}s",
+    with cf.ThreadPoolExecutor(min(len(cases), 10)) as ex:
+        compiled = list(zip(
+            [c[0] for c in cases],
+            ex.map(lambda c: _probe.lower(c[1], c[2], c[3], jnp.float32(0),
+                                          kind=c[4], v_per=c[5]).compile(),
+                   cases),
+            cases))
+    print(f"compiled {len(cases)} in {time.perf_counter() - t0:.1f}s",
           flush=True)
 
-    for name, f in compiled.items():
+    for name, f, c in compiled:
         best = 1e9
         for _ in range(3):
             t0 = time.perf_counter()
-            float(f(jnp.float32(0)))
+            float(f(c[1], c[2], c[3], jnp.float32(0)))
             best = min(best, time.perf_counter() - t0)
         per = best / REPS
         print(f"{name:28s} {per*1e3:8.2f} ms "
