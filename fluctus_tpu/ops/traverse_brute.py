@@ -559,12 +559,22 @@ def _prep(orig, dir, t_max, blk):
 # to scheduling, and tiles play the role of leaves (bvh.cl:253-279).
 
 V_PER = int(os.environ.get("FLUCTUS_BRUTE_V", "8"))
+# Möller guard-group width in tiles; 0 = auto (group up to ~512 tris per
+# guarded slice — the measured sweet spot between guard-step count and
+# wasted Möller width)
+GR = int(os.environ.get("FLUCTUS_BRUTE_GR", "0"))
+
+
+def _resolve_gr(tt: int, tp: int) -> int:
+    gr = GR if GR > 0 else max(1, 512 // tt)
+    nt = tp // tt
+    return next(g for g in (gr, 8, 4, 2, 1) if g <= gr and nt % g == 0)
 
 
 def _vkernel(sel_ref, val_ref, tris_ref, tbox_ref, rays_ref,
              it_ref, ip_ref, iu_ref, iv_ref,
              ot_ref, op_ref, ou_ref, ov_ref,
-             any_hit: bool, blk: int, tt: int, v_per: int):
+             any_hit: bool, blk: int, tt: int, v_per: int, gr: int):
     i32 = jnp.int32
     i = pl.program_id(0)
     v = jax.lax.rem(i, v_per)
@@ -590,12 +600,12 @@ def _vkernel(sel_ref, val_ref, tris_ref, tbox_ref, rays_ref,
     def _():
         _vkernel_body(tris_ref, tbox_ref, rays_ref,
                       ot_ref, op_ref, ou_ref, ov_ref,
-                      bt, bp, any_hit, blk, tt)
+                      bt, bp, any_hit, blk, tt, gr)
 
 
 def _vkernel_body(tris_ref, tbox_ref, rays_ref,
                   ot_ref, op_ref, ou_ref, ov_ref,
-                  bt, bp, any_hit: bool, blk: int, tt: int):
+                  bt, bp, any_hit: bool, blk: int, tt: int, gr: int):
     f32 = jnp.float32
     i32 = jnp.int32
     tp = tris_ref.shape[2]
@@ -638,12 +648,24 @@ def _vkernel_body(tris_ref, tbox_ref, rays_ref,
     tile_any = jnp.any(cand, axis=0, keepdims=True)        # (1, NTp)
     lane = jax.lax.broadcasted_iota(i32, (1, ntp), 1)
 
-    def tile_step(i, _):
-        # scalar per-tile liveness via the one-hot sum trick (dynamic
-        # per-element vector reads don't lower well on Mosaic)
-        live_i = jnp.sum(jnp.where(lane == i, tile_any.astype(i32), 0)) > 0
+    # Guard at GROUP granularity (gr consecutive tiles Möller-tested as
+    # one wide slice when ANY of them is live). The trip count stays
+    # STATIC (a traced-bound loop lowers to an unpipelined while —
+    # measured 10x WORSE on incoherent visits); gr trades guard-step
+    # count against Möller slice width: coherent visits want narrow
+    # slices (1 live tile), divergent visits want few guards (most tiles
+    # live anyway). gr is resolved by the launcher (see _resolve_gr).
+    gr = next(g for g in (gr, 8, 4, 2, 1) if g <= gr and nt % g == 0)
+    ng = nt // gr
+    lane_g = lane // gr if gr > 1 else lane    # group id per tile column
 
-        @pl.when(live_i)
+    def group_step(g, _):
+        # scalar group liveness via the one-hot sum trick (dynamic
+        # per-element vector reads don't lower well on Mosaic)
+        live_g = jnp.sum(jnp.where(lane_g == g,
+                                   tile_any.astype(i32), 0)) > 0
+
+        @pl.when(live_g)
         def _():
             cbt = ot_ref[:, :]
             cbp = op_ref[:, :]
@@ -653,7 +675,7 @@ def _vkernel_body(tris_ref, tbox_ref, rays_ref,
             if any_hit:
                 live = live & (cbp <= 0)
             nbt, nbp, nbu, nbv = _moller_tile(
-                tris_ref, i, tt, ox, oy, oz, dx, dy, dz, live,
+                tris_ref, g, gr * tt, ox, oy, oz, dx, dy, dz, live,
                 cbt, cbp, cbu, cbv, any_hit, blk)
             ot_ref[:, :] = nbt
             op_ref[:, :] = nbp
@@ -661,7 +683,7 @@ def _vkernel_body(tris_ref, tbox_ref, rays_ref,
             ov_ref[:, :] = nbv
         return 0
 
-    jax.lax.fori_loop(0, nt, tile_step, 0)
+    jax.lax.fori_loop(0, ng, group_step, 0)
 
 
 def _moller_tile(tris_ref, i, tt, ox, oy, oz, dx, dy, dz, live,
@@ -721,15 +743,15 @@ def _moller_tile(tris_ref, i, tt, ox, oy, oz, dx, dy, dz, live,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("any_hit", "blk", "tt", "v_per"))
+                   static_argnames=("any_hit", "blk", "tt", "v_per", "gr"))
 def _vlaunch(sel, val, tris, tboxes, rays8, it, ip, iu, iv,
-             any_hit: bool, blk: int, tt: int, v_per: int):
+             any_hit: bool, blk: int, tt: int, v_per: int, gr: int = 1):
     cap = rays8.shape[0]
     nb = cap // blk
     tp = tris.shape[2]
     ntp = tboxes.shape[2]
     kernel = functools.partial(_vkernel, any_hit=any_hit, blk=blk, tt=tt,
-                               v_per=v_per)
+                               v_per=v_per, gr=gr)
     bmap = lambda i, sel, val: (i // v_per, 0)
     col = lambda: pl.BlockSpec((blk, 1), bmap, memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -810,11 +832,12 @@ def _first_chunk_key(boxes_t, orig, dir, t_per_lane):
 
 
 def _run_vlist(bf: BruteForest, orig, dir, t_vec, any_hit: bool,
-               blk: int, v_per: int, tt: int):
+               blk: int, v_per: int, tt: int, gr: int = 0):
     bb = orig.shape[0]
     nb = bb // blk
     c = bf.boxes.shape[0]
     cp = bf.boxes_t.shape[1]
+    gr_r = gr if gr > 0 else _resolve_gr(tt, bf.tris.shape[2])
 
     octant = ((dir[:, 0] < 0).astype(jnp.int32)
               | ((dir[:, 1] < 0).astype(jnp.int32) << 1)
@@ -874,7 +897,7 @@ def _run_vlist(bf: BruteForest, orig, dir, t_vec, any_hit: bool,
             sel_w.reshape(-1), valid.astype(jnp.int32).reshape(-1),
             bf.tris, bf.tboxes, rays8,
             bt_c[:, None], bp_c[:, None], bu_c[:, None], bv_c[:, None],
-            any_hit=any_hit, blk=blk, tt=tt, v_per=v_per)
+            any_hit=any_hit, blk=blk, tt=tt, v_per=v_per, gr=gr_r)
         return (k + 1, ot[:, 0], op[:, 0], ou[:, 0], ov[:, 0])
 
     _, bt, bp, bu, bv = jax.lax.while_loop(

@@ -36,8 +36,8 @@ N = 1 << 14
 REPS = 4
 
 
-@functools.partial(jax.jit, static_argnames=("kind", "v_per"))
-def _probe(bf, o, d, s, kind: str, v_per: int):
+@functools.partial(jax.jit, static_argnames=("kind", "v_per", "gr"))
+def _probe(bf, o, d, s, kind: str, v_per: int, gr: int = 0):
     o = o + s * 1e-30
     if kind == "rounds":
         def one(s):
@@ -48,7 +48,8 @@ def _probe(bf, o, d, s, kind: str, v_per: int):
         def one(s):
             o8, d8, tv, b = tb._prep(o + s * 1e-30, d, 3.4e38, 128)
             bt, bp, bu, bv = tb._run_vlist(bf, o8, d8, tv, False, 128,
-                                           v_per, tb._vlist_tile(bf))
+                                           v_per, tb._vlist_tile(bf),
+                                           gr=gr)
             return jnp.sum(bt * (bt < 1e30))
 
     def body(c, _):
@@ -82,20 +83,23 @@ def main():
                                      half, half, zero, zero,
                                      params.world_radius)
 
-    tts = (32768, 65536) if not probe else (512,)
+    # (target_tris, builder tile): tile sets the tbox prune granularity;
+    # gr then groups tiles back into wider Möller slices
+    builds = ((512, 128),) if probe else ((32768, 128), (32768, 512))
     forests = {}
-    for tt in tts:
-        hb = build_brute_forest(host.v0, host.v1, host.v2, target_tris=tt)
-        forests[tt] = BruteForest(
+    for tt, btile in builds:
+        hb = build_brute_forest(host.v0, host.v1, host.v2, target_tris=tt,
+                                tile=btile)
+        forests[(tt, btile)] = BruteForest(
             tris=jnp.asarray(hb.tris), boxes=jnp.asarray(hb.boxes),
             boxes_t=jnp.asarray(hb.boxes_t),
             tboxes=jnp.asarray(hb.tboxes), tile=hb.tile)
-        print(f"TT={tt}: C={hb.boxes.shape[0]} tp={hb.tris.shape[2]}",
-              flush=True)
+        print(f"TT={tt}/tile{btile}: C={hb.boxes.shape[0]} "
+              f"tp={hb.tris.shape[2]}", flush=True)
 
     # bounce rays: diffuse-ish scatter off the primary hit points (use the
     # default-TT forest to find hits once, outside the timed region)
-    bf0 = forests[tts[-1]]
+    bf0 = forests[builds[-1]]
     if probe:
         t = jnp.ones((N,), jnp.float32)   # no real execution in trace mode
     else:
@@ -110,18 +114,37 @@ def main():
     d_b = d_b / jnp.linalg.norm(d_b, axis=1, keepdims=True)
     o_b = p_hit - 1e-3 * d_p
 
+    # realistic bounce population: only lanes with a REAL primary hit
+    # spawn a bounce (the stream respawns dead lanes as new primaries —
+    # it never traces the mid-air random rays the naive construction
+    # makes for miss lanes). Hit lanes tile up to N; directions flip into
+    # the back hemisphere of the incoming ray (diffuse-off-front-face).
+    if probe:
+        o_r, d_r = o_b, d_b
+    else:
+        hit_idx = np.nonzero(np.asarray(bp) >= 0)[0]
+        rep_idx = jnp.asarray(np.resize(hit_idx, N), jnp.int32)
+        o_r = o_b[rep_idx]
+        d_r = d_b[rep_idx]
+        flip = jnp.sum(d_r * d_p[rep_idx], axis=1, keepdims=True) > 0
+        d_r = jnp.where(flip, -d_r, d_r)
+
     cases = []
-    for kind_r, (o, d) in (("prim", (o_p, d_p)), ("bounce", (o_b, d_b))):
-        for tt, bf in forests.items():
-            cases.append((f"rounds/{kind_r}/TT{tt}", bf, o, d, "rounds", 8))
-            for v_per in ((8,) if probe else (8, 16)):
-                cases.append((f"vlist/{kind_r}/TT{tt}/V{v_per}",
-                              bf, o, d, "vlist", v_per))
+    for kind_r, (o, d) in (("prim", (o_p, d_p)), ("bounce", (o_b, d_b)),
+                           ("bounce_real", (o_r, d_r))):
+        for (tt, btile), bf in forests.items():
+            cases.append((f"rounds/{kind_r}/TT{tt}", bf, o, d,
+                          "rounds", 8, 0))
+            grs = (1,) if probe else \
+                ((1, 2, 4, 8) if btile == 128 else (1, 2))
+            for gr in grs:
+                cases.append((f"vlist/{kind_r}/TT{tt}/t{btile}/g{gr}",
+                              bf, o, d, "vlist", 8, gr))
 
     if probe:
-        for name, bf, o, d, kind, v in cases:
+        for name, bf, o, d, kind, v, gr in cases:
             print(name, jax.eval_shape(_probe, bf, o, d, jnp.float32(0),
-                                       kind, v))
+                                       kind, v, gr))
         return
 
     import concurrent.futures as cf
@@ -130,7 +153,8 @@ def main():
         compiled = list(zip(
             [c[0] for c in cases],
             ex.map(lambda c: _probe.lower(c[1], c[2], c[3], jnp.float32(0),
-                                          kind=c[4], v_per=c[5]).compile(),
+                                          kind=c[4], v_per=c[5],
+                                          gr=c[6]).compile(),
                    cases),
             cases))
     print(f"compiled {len(cases)} in {time.perf_counter() - t0:.1f}s",
