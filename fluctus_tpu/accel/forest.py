@@ -14,6 +14,7 @@ Pallas grid while ray blocks visit only the treelets they intersect.
 """
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -117,11 +118,15 @@ class HostBrute:
 
 
 BRUTE_TARGET_TRIS = 8192
+# tbox granularity: 128-tri tiles + the vlist kernel's ~1024-tri guard
+# groups measured best on the 6.3M-tri protocol sweep (t128/g8 beats the
+# old t512 ~10% on primaries and bounces; finer boxes prune more)
+BRUTE_TILE = int(os.environ.get("FLUCTUS_BRUTE_TILE", "128"))
 
 
 def build_brute_forest(v0, v1, v2,
                        target_tris: int = BRUTE_TARGET_TRIS,
-                       tile: int = 512) -> HostBrute:
+                       tile: int | None = None) -> HostBrute:
     """Partition triangles into spatial chunks (median split — no SAH/SBVH
     build needed, unlike the treelet forest) and pack per-chunk Möller
     tables. Every triangle lands in exactly one chunk (no duplication), so
@@ -129,6 +134,8 @@ def build_brute_forest(v0, v1, v2,
     triangles are re-ordered by a second median-split recursion down to
     `tile` so each tile of consecutive triangles is spatially tight; the
     per-tile AABBs (tboxes) let the kernel prune whole tiles."""
+    if tile is None:
+        tile = BRUTE_TILE
     n = len(v0)
     assert n < (1 << 24) - 1, "brute forest: tri ids exceed f32-exact range"
     chunk_ids = _split_chunks(v0, v1, v2, target_tris)

@@ -566,9 +566,13 @@ GR = int(os.environ.get("FLUCTUS_BRUTE_GR", "0"))
 
 
 def _resolve_gr(tt: int, tp: int) -> int:
-    gr = GR if GR > 0 else max(1, 512 // tt)
+    # ~1024 tris per guarded Möller slice: the measured sweet spot on the
+    # 6.3M-tri protocol sweep (t128: g8 beats g1 2x and g32 1.4x on
+    # primaries AND divergent bounces; t512: g2 best)
+    gr = GR if GR > 0 else max(1, 1024 // tt)
     nt = tp // tt
-    return next(g for g in (gr, 8, 4, 2, 1) if g <= gr and nt % g == 0)
+    return next(g for g in (gr, 32, 16, 8, 4, 2, 1)
+                if g <= gr and nt % g == 0)
 
 
 def _vkernel(sel_ref, val_ref, tris_ref, tbox_ref, rays_ref,
@@ -655,7 +659,8 @@ def _vkernel_body(tris_ref, tbox_ref, rays_ref,
     # count against Möller slice width: coherent visits want narrow
     # slices (1 live tile), divergent visits want few guards (most tiles
     # live anyway). gr is resolved by the launcher (see _resolve_gr).
-    gr = next(g for g in (gr, 8, 4, 2, 1) if g <= gr and nt % g == 0)
+    gr = next(g for g in (gr, 32, 16, 8, 4, 2, 1)
+              if g <= gr and nt % g == 0)
     ng = nt // gr
     lane_g = lane // gr if gr > 1 else lane    # group id per tile column
 
@@ -808,7 +813,12 @@ def _chunk_entries_blockmin(boxes_t, orig, dir, t_per_lane, alive, blk):
 
 
 def _first_chunk_key(boxes_t, orig, dir, t_per_lane):
-    """Per-ray sort key: nearest intersected chunk id (C for none)."""
+    """Per-ray sort key: (nearest, second-nearest) intersected chunk ids
+    packed as first*(C+1)+second (C+1 = none). Two-level clustering packs
+    rays that share their whole candidate PREFIX into the same kernel
+    block — the block's visit list is the union of its lanes' candidates,
+    so shared prefixes directly cut visit count (measured the dominant
+    cost on protocol primaries)."""
     cp = boxes_t.shape[1]
     ox, oy, oz = orig[:, 0:1], orig[:, 1:2], orig[:, 2:3]
     dx, dy, dz = dir[:, 0:1], dir[:, 1:2], dir[:, 2:3]
@@ -827,8 +837,13 @@ def _first_chunk_key(boxes_t, orig, dir, t_per_lane):
     e = jnp.maximum(tmn, 0.0)
     hit = (tmx >= 0.0) & (tmn <= tmx) & (e < t_per_lane[:, None])
     e = jnp.where(hit, e, _INF)
-    return jnp.argmin(e, axis=1).astype(jnp.int32) \
+    first = jnp.argmin(e, axis=1).astype(jnp.int32) \
         + jnp.where(jnp.all(~hit, axis=1), cp, 0).astype(jnp.int32)
+    cid = jax.lax.broadcasted_iota(jnp.int32, e.shape, 1)
+    e2 = jnp.where(cid == first[:, None], _INF, e)
+    second = jnp.argmin(e2, axis=1).astype(jnp.int32) \
+        + jnp.where(jnp.all(e2 == _INF, axis=1), cp, 0).astype(jnp.int32)
+    return first * (cp + 1) + second
 
 
 def _run_vlist(bf: BruteForest, orig, dir, t_vec, any_hit: bool,

@@ -36,8 +36,10 @@ N = 1 << 14
 REPS = 4
 
 
-@functools.partial(jax.jit, static_argnames=("kind", "v_per", "gr"))
-def _probe(bf, o, d, s, kind: str, v_per: int, gr: int = 0):
+@functools.partial(jax.jit,
+                   static_argnames=("kind", "v_per", "gr", "blk"))
+def _probe(bf, o, d, s, kind: str, v_per: int, gr: int = 0,
+           blk: int = 128):
     o = o + s * 1e-30
     if kind == "rounds":
         def one(s):
@@ -46,8 +48,8 @@ def _probe(bf, o, d, s, kind: str, v_per: int, gr: int = 0):
             return jnp.sum(r.t * (r.t < 1e30))
     else:
         def one(s):
-            o8, d8, tv, b = tb._prep(o + s * 1e-30, d, 3.4e38, 128)
-            bt, bp, bu, bv = tb._run_vlist(bf, o8, d8, tv, False, 128,
+            o8, d8, tv, b = tb._prep(o + s * 1e-30, d, 3.4e38, blk)
+            bt, bp, bu, bv = tb._run_vlist(bf, o8, d8, tv, False, blk,
                                            v_per, tb._vlist_tile(bf),
                                            gr=gr)
             return jnp.sum(bt * (bt < 1e30))
@@ -85,7 +87,7 @@ def main():
 
     # (target_tris, builder tile): tile sets the tbox prune granularity;
     # gr then groups tiles back into wider Möller slices
-    builds = ((512, 128),) if probe else ((32768, 128), (32768, 512))
+    builds = ((512, 128),) if probe else ((32768, 128),)
     forests = {}
     for tt, btile in builds:
         hb = build_brute_forest(host.v0, host.v1, host.v2, target_tris=tt,
@@ -133,18 +135,19 @@ def main():
     for kind_r, (o, d) in (("prim", (o_p, d_p)), ("bounce", (o_b, d_b)),
                            ("bounce_real", (o_r, d_r))):
         for (tt, btile), bf in forests.items():
-            cases.append((f"rounds/{kind_r}/TT{tt}", bf, o, d,
-                          "rounds", 8, 0))
-            grs = (1,) if probe else \
-                ((1, 2, 4, 8) if btile == 128 else (1, 2))
-            for gr in grs:
-                cases.append((f"vlist/{kind_r}/TT{tt}/t{btile}/g{gr}",
-                              bf, o, d, "vlist", 8, gr))
+            # (v_per, blk) at the g8 sweet spot: passes trade against
+            # grid width; blk=256 halves grid steps AND visit count
+            combos = (((8, 128, 1),) if probe else
+                      ((8, 128, 8), (16, 128, 8), (32, 128, 8),
+                       (8, 256, 8), (16, 256, 8)))
+            for v_per, blk, gr in combos:
+                cases.append((f"vlist/{kind_r}/V{v_per}/b{blk}/g{gr}",
+                              bf, o, d, "vlist", v_per, gr, blk))
 
     if probe:
-        for name, bf, o, d, kind, v, gr in cases:
+        for name, bf, o, d, kind, v, gr, blk in cases:
             print(name, jax.eval_shape(_probe, bf, o, d, jnp.float32(0),
-                                       kind, v, gr))
+                                       kind, v, gr, blk))
         return
 
     import concurrent.futures as cf
@@ -154,7 +157,7 @@ def main():
             [c[0] for c in cases],
             ex.map(lambda c: _probe.lower(c[1], c[2], c[3], jnp.float32(0),
                                           kind=c[4], v_per=c[5],
-                                          gr=c[6]).compile(),
+                                          gr=c[6], blk=c[7]).compile(),
                    cases),
             cases))
     print(f"compiled {len(cases)} in {time.perf_counter() - t0:.1f}s",
