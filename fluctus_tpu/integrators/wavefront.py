@@ -447,9 +447,12 @@ def _stream_segment(scene: DeviceScene, params: RenderParams,
         alive=alive_next,
     )
     n_act = jnp.sum(active.astype(jnp.uint32))
+    nee_on = cfg.sample_expl and (cfg.use_env_map or cfg.use_area_light)
     counters = counters.at[0].add(n_spawned)
     counters = counters.at[1].add(n_act)
-    counters = counters.at[2].add(n_act)
+    # shadow rays exist only when NEE has a light to sample (the counter
+    # mirrored ext unconditionally before, over-reporting unlit scenes)
+    counters = counters.at[2].add(n_act if nee_on else jnp.uint32(0))
     return state, counters, (row_r, row_g, row_b, row_pix)
 
 
@@ -507,9 +510,10 @@ def _stream_segment_d(scene: DeviceScene, params: RenderParams,
         alive=alive_next,
     )
     n_act = jnp.sum(active.astype(jnp.uint32))
+    nee_on = cfg.sample_expl and (cfg.use_env_map or cfg.use_area_light)
     counters = counters.at[0].add(n_spawned)
     counters = counters.at[1].add(n_act)
-    counters = counters.at[2].add(n_act)
+    counters = counters.at[2].add(n_act if nee_on else jnp.uint32(0))
     return (state, counters, pend2, fin_pix_n, fin_ei_n,
             (row_r, row_g, row_b, row_pix))
 

@@ -138,7 +138,12 @@ def run_benchmark_stream(session, duration_s: float = 30.0,
 
     cfg = session.cfg
     n_pix = cfg.width * cfg.height
-    pool = min(cfg.pool_size, max(1 << 12, min(1 << 14, n_pix)))
+    # same pool scaling as driver.render (n_pix/16): the old 2^14 cap
+    # quadrupled the segment count at 1024² — on the 6.3M-tri brute-path
+    # scene each segment pays a full mixed-population traversal, and
+    # bigger sorted pools also pack more same-chunk rays per kernel block
+    pool = min(cfg.pool_size,
+               int(np.clip(n_pix // 16, 1 << 12, 1 << 16)))
     cfg = cfg.replace(pool_size=pool)
 
     def frame():
