@@ -21,6 +21,7 @@ Redesign notes:
 """
 from __future__ import annotations
 
+import time
 from functools import partial
 
 import jax
@@ -612,7 +613,9 @@ def render_stream(scene: DeviceScene, params: RenderParams,
     chunks = []
     pending = []  # lagged drain checks: block on an OLD check while the
     #               newest launch is already queued (hides sync latency)
+    t_prev = 0.0
     while it < cap:
+        t0 = time.perf_counter()
         if deferred:
             state, counters, pend, fin_pix, fin_ei, rows = \
                 stream_rounds_deferred(scene, params, cfg, state, counters,
@@ -626,8 +629,18 @@ def render_stream(scene: DeviceScene, params: RenderParams,
             drained = jnp.any(state.alive)
         chunks.append(rows)
         it += segments_per_launch
-        pending.append(drained)
-        if len(pending) >= 2 and not bool(pending.pop(0)):
+        if t_prev > 0.25:
+            # big-scene launches run seconds each: the lagged check would
+            # queue one full (wasted) launch past the drain — the sync's
+            # ~ms round trip is noise at this scale. The lag only pays
+            # when launches are fast (small frames, ~30 ms).
+            pending.clear()
+            done = not bool(drained)
+        else:
+            pending.append(drained)
+            done = len(pending) >= 2 and not bool(pending.pop(0))
+        t_prev = time.perf_counter() - t0
+        if done:
             break
 
     # --- scatter-free binning: sort by pixel, reshape-sum groups of spp.
