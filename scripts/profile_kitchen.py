@@ -70,7 +70,20 @@ def main():
         auto_frame=False)
 
     real = {"trace": common.trace_scene, "shadow": common._shadow_blocked,
-            "ctx": common.make_shading_ctx}
+            "ctx": common.make_shading_ctx,
+            "sample": bsdf_mod.bsdf_sample, "eval": bsdf_mod.bsdf_eval,
+            "pdf": bsdf_mod.bsdf_pdf}
+
+    def stub_bsdf_sample(ctx, wi, u1, u2, u_lobe, types_mask=0):
+        return bsdf_mod.BsdfSample(
+            wo=ctx.n, f=jnp.full_like(ctx.kd, 0.3),
+            pdf=jnp.full(ctx.ns.shape, 0.5, jnp.float32))
+
+    def stub_bsdf_eval(ctx, wi, wo, types_mask=0):
+        return jnp.full_like(ctx.kd, 0.2)
+
+    def stub_bsdf_pdf(ctx, wi, wo, types_mask=0):
+        return jnp.full(ctx.ns.shape, 0.5, jnp.float32)
 
     def apply(stubs):
         common.trace_scene = stub_trace if "trace" in stubs \
@@ -79,7 +92,14 @@ def main():
             else real["shadow"]
         common.make_shading_ctx = stub_ctx if "ctx" in stubs \
             else real["ctx"]
+        bsdf_mod.bsdf_sample = stub_bsdf_sample if "bsdf" in stubs \
+            else real["sample"]
+        bsdf_mod.bsdf_eval = stub_bsdf_eval if "bsdfe" in stubs \
+            else real["eval"]
+        bsdf_mod.bsdf_pdf = stub_bsdf_pdf if "bsdfe" in stubs \
+            else real["pdf"]
 
+    from fluctus_tpu.core.types import BXDF_DIFFUSE
     variants = [
         ("full mb=8", (), {}),
         ("- closest trav", ("trace",), {}),
@@ -88,6 +108,12 @@ def main():
         ("no NEE (real trav)", (), dict(sample_expl=False)),
         ("full mb=4", (), dict(max_bounces=4)),
         ("full mb=2", (), dict(max_bounces=2)),
+        # bsdf-math isolation (r5: traversal/ctx stubs were all FLAT —
+        # ~60 ms/bounce of arithmetic remains; the 7-type compute-all
+        # dispatch is the suspect)
+        ("diffuse-only mask", (), dict(bsdf_types_mask=BXDF_DIFFUSE)),
+        ("- bsdf sample", ("bsdf",), {}),
+        ("- bsdf - nee evals", ("bsdf", "bsdfe"), {}),
     ]
 
     pix = (jnp.arange(N, dtype=jnp.uint32)
@@ -97,11 +123,23 @@ def main():
     for tag, stubs, over in variants:
         cfg = sess.cfg.replace(**over)
         apply(stubs)
-        lockstep._render_tile_spp._clear_cache()
 
-        def run(s0):
-            return lockstep._render_tile_spp(sess.scene, sess.params, cfg,
-                                             pix, s0, SPP)
+        # a FRESH jit closure per variant: _clear_cache() on the shared
+        # module-level jit does NOT invalidate its trace cache on this
+        # jax version — every stub variant silently reused the unstubbed
+        # trace (caught r5: all stub rows read identical to full)
+        @jax.jit
+        def fresh(scene, params, px, s0, cfg=cfg):
+            def body(acc, k):
+                return acc + lockstep.sample_radiance(
+                    scene, params, cfg, px, s0 + k, early_exit=True), None
+            acc, _ = jax.lax.scan(
+                body, jnp.zeros((px.shape[0], 3), jnp.float32),
+                jnp.arange(SPP, dtype=jnp.uint32))
+            return acc
+
+        def run(s0, fresh=fresh):
+            return fresh(sess.scene, sess.params, pix, s0)
 
         if probe:
             print(tag,

@@ -130,7 +130,6 @@ def main():
         over = entry[2] if len(entry) > 2 else {}
         cfg = sess.cfg.replace(pool_size=POOL, **over)
         apply(stubs)
-        wavefront.stream_rounds_deferred._clear_cache()
 
         state, counters = wavefront.init_stream_state(sess.params, cfg,
                                                       POOL)
@@ -138,17 +137,29 @@ def main():
         fin_pix = jnp.full((POOL,), -1, jnp.int32)
         fin_ei = jnp.zeros((POOL, 3), jnp.float32)
 
-        def launch(s):
-            return wavefront.stream_rounds_deferred(
-                sess.scene, sess.params, cfg, s[0], s[1], s[2], s[3],
-                s[4], 16, NSEG)
+        # fresh jit per variant: _clear_cache() on the shared module jit
+        # does NOT invalidate its trace cache on this jax version — stub
+        # variants would silently reuse the unstubbed trace (r5 finding).
+        # spp=64 keeps the spawn target far away so the pool stays LIVE
+        # through warm + timed launches (a drained pool's segments skip
+        # all work and read ~1 ms).
+        @jax.jit
+        def fresh(scene, params, st, ct, pd, fp, fe, cfg=cfg):
+            def body(carry, _):
+                st, ct, pd, fp, fe, rows = wavefront._stream_segment_d(
+                    scene, params, cfg, carry[0], carry[1], 64,
+                    carry[2], carry[3], carry[4])
+                return (st, ct, pd, fp, fe), rows
+            carry, rows = jax.lax.scan(
+                body, (st, ct, pd, fp, fe), None, length=NSEG)
+            return carry + (rows,)
+
+        def launch(s, fresh=fresh):
+            return fresh(sess.scene, sess.params, *s)
 
         if os.environ.get("PROBE_TRACE_ONLY"):
-            out = jax.eval_shape(
-                lambda st, ct, pd, fp, fe: wavefront.stream_rounds_deferred(
-                    sess.scene, sess.params, cfg, st, ct, pd, fp, fe, 16,
-                    NSEG),
-                state, counters, pend, fin_pix, fin_ei)
+            out = jax.eval_shape(fresh, sess.scene, sess.params, state,
+                                 counters, pend, fin_pix, fin_ei)
             print(tag, "trace ok")
             continue
 
