@@ -375,7 +375,13 @@ def fast_big_eligible(host) -> bool:
     raise) the full hierarchy build is kept. FLUCTUS_FAST_BIG=0 remains
     the explicit override on any platform."""
     import jax
-    return (len(host.v0) * 68 > (8 << 20)  # ~ the wide-table threshold
+    # FLUCTUS_FAST_BIG_MIN_TRIS lowers the cutover (default ~124k tris =
+    # the 8 MB wide-table threshold): mid-size interiors can win on the
+    # brute-vlist path because the MXU stack kernel's one-hot gather cost
+    # scales with table WIDTH while a brute visit prunes at tile level
+    min_tris = int(os.environ.get("FLUCTUS_FAST_BIG_MIN_TRIS",
+                                  (8 << 20) // 68))
+    return (len(host.v0) > min_tris
             and jax.default_backend() not in ("cpu",)
             and os.environ.get("FLUCTUS_FOREST", "brute") == "brute"
             and os.environ.get("FLUCTUS_PACKET_FOREST", "0") != "1"
