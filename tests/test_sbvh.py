@@ -70,15 +70,21 @@ def test_sbvh_quality_not_worse_on_compact_tris(rng):
     assert len(sb.prim_idx) <= int(len(v0) * 1.6)
 
 
-def test_native_unsplit_arbitration_stats(rng):
+def test_native_unsplit_arbitration_stats():
     """The native SBVH reports duplication accounting (reference logs the
     same, src/sbvh.cpp:41-48) and the unsplit arbitration actually fires:
     on long thin tris some straddlers duplicate AND some unsplit. Trees
-    with unsplit references must still traverse exactly."""
+    with unsplit references must still traverse exactly.
+
+    Uses a LOCAL fixed-seed generator: the session-scoped rng fixture's
+    draw sequence depends on which tests ran before this one, and
+    whether unsplit fires is data-dependent (flaked when the file ran
+    in a different subset). Seed 11 produces both unsplit directions."""
     from fluctus_tpu.accel import native
     if not native.available():
         import pytest
         pytest.skip("no g++ toolchain")
+    rng = np.random.default_rng(11)
     v0, v1, v2 = long_thin_tris(rng, m=400)
     nb = native.build_native(v0, v1, v2, 8, 64, 1e-5, True)
     st = nb.stats
