@@ -62,7 +62,11 @@ def main():
     # the two numbers deliberately differ (VERDICT r4 weak 3).
     import numpy as _np
     actual_rays = float(_np.asarray(counters, _np.float64).sum())
-    dt = min(_timed(lambda: frame()[0]) for _ in range(3))
+    # min-of-6: relay/chip throughput drifts ±20% between runs today
+    # (three full bench invocations read 45.6/61.5/51.9 on identical
+    # cached binaries) — a larger min pool keeps the recorded headline
+    # comparable across rounds
+    dt = min(_timed(lambda: frame()[0]) for _ in range(6))
 
     n_samples = cfg.width * cfg.height * spp
     primary, ext, shadow = ray_counts_per_sample(sess.cfg, n_samples)
